@@ -1,0 +1,180 @@
+"""Typed configuration (TPU-native replacement for the rosparam/YAML layer).
+
+The reference loads every gain/mass/timing from YAML through the ROS
+parameter server (commander_node.cpp:239-334, mit_cheetah_config.yaml). Here
+the same values live in frozen dataclasses that hash, so they can be closed
+over by jit as static configuration; array-valued fields are materialized on
+demand via the ``*_array`` helpers.
+
+Leg axis order everywhere: ``[RL, FL, RR, FR]`` (index 0..3) — the
+reference's canonical order (commander_node.cpp:61).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+LEG_NAMES: Tuple[str, str, str, str] = ("RL", "FL", "RR", "FR")
+NUM_LEGS = 4
+NUM_JOINTS = 12
+GRAVITY = 9.81
+
+
+@dataclasses.dataclass(frozen=True)
+class KinematicsConfig:
+    """Leg geometry (reference kinematics.cpp:19-47).
+
+    ``hip_x/hip_y``: base->hip offsets; signs per leg follow the reference:
+    RL=(-x,+y), FL=(+x,+y), RR=(-x,-y), FR=(+x,-y). ``l1`` flips sign for
+    right legs (left_links vs right_links, kinematics.cpp:41-42).
+    """
+
+    hip_x: float = 0.196
+    hip_y: float = 0.050
+    hip_z: float = 0.0
+    l1: float = 0.077
+    l2: float = 0.211
+    l3: float = 0.230
+
+    def hip_offsets(self, dtype=jnp.float32):
+        """(4, 3) base->hip translation per leg, [RL, FL, RR, FR]."""
+        x, y, z = self.hip_x, self.hip_y, self.hip_z
+        return jnp.array(
+            [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=dtype
+        )
+
+    def l1_signed(self, dtype=jnp.float32):
+        """(4,) l1 with the left/right sign convention (left +, right -)."""
+        return jnp.array([self.l1, self.l1, -self.l1, -self.l1], dtype=dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class GaitConfig:
+    """Gait timing (mit_cheetah_config.yaml:16-20, gait.cpp:36-46)."""
+
+    t_stance: float = 0.8
+    t_swing: float = 0.18
+    swing_height: float = 0.08
+    offsets: Tuple[float, float, float, float] = (0.0, 0.5, 0.5, 0.0)
+
+    @property
+    def period(self) -> float:
+        return self.t_stance + self.t_swing
+
+    @property
+    def stance_phase(self) -> float:
+        """Fraction of the cycle in stance (gait.cpp:45)."""
+        return self.t_stance / self.period
+
+    def offsets_array(self, dtype=jnp.float32):
+        return jnp.array(self.offsets, dtype=dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class FootPlannerConfig:
+    """Raibert foothold heuristic constants (foot_planner.cpp:22-42)."""
+
+    k: float = 0.01
+    hip_x: float = 0.196
+    hip_y: float = 0.127
+    hip_z: float = 0.0
+    gravity: float = GRAVITY
+
+    def hip_offsets(self, dtype=jnp.float32):
+        x, y, z = self.hip_x, self.hip_y, self.hip_z
+        return jnp.array(
+            [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=dtype
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class BalanceConfig:
+    """Balance (GRF QP) controller gains and SRB parameters.
+
+    Values from mit_cheetah_config.yaml:66-99 and commander_node.cpp:289-334.
+    """
+
+    mass: float = 11.0
+    inertia_diag: Tuple[float, float, float] = (0.011253, 0.036203, 0.042673)
+    mu: float = 0.8
+    fz_min: float = 10.0
+    fz_max: float = 120.0
+    s_diag: Tuple[float, ...] = (1.0, 1.0, 1.0, 10.0, 10.0, 5.0)
+    w_diag: float = 1e-5
+    kff: Tuple[float, ...] = (0.0, 0.0, 0.15, 0.0, 0.0, 0.0)
+    kp_p: Tuple[float, float, float] = (100.0, 100.0, 100.0)
+    kd_p: Tuple[float, float, float] = (50.0, 50.0, 50.0)
+    kp_w: Tuple[float, float, float] = (5000.0, 5000.0, 5000.0)
+    kd_w: Tuple[float, float, float] = (500.0, 500.0, 500.0)
+    torque_min: float = -20.0
+    torque_max: float = 20.0
+
+    def inertia(self, dtype=jnp.float32):
+        return jnp.diag(jnp.array(self.inertia_diag, dtype=dtype))
+
+    def S(self, dtype=jnp.float32):
+        return jnp.diag(jnp.array(self.s_diag, dtype=dtype))
+
+    def W(self, dtype=jnp.float32):
+        return self.w_diag * jnp.eye(NUM_JOINTS, dtype=dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class JointControlConfig:
+    """Swing-leg joint PD gains (mit_cheetah_config.yaml:50-53)."""
+
+    kff: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    kp: Tuple[float, float, float] = (40.0, 40.0, 50.0)
+    kd: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class StandConfig:
+    """Standing target (commander_node.cpp:353-354, 387)."""
+
+    height: float = 0.26
+    height_tolerance: float = 0.005
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Batched interior-point solver knobs (no reference equivalent — the
+    reference warm-starts qpOASES's active set, balance_controller.cpp:
+    177-202; the batched solver amortizes over instances instead)."""
+
+    max_iterations: int = 25
+    tolerance: float = 1e-7
+    # Big-M bound the reference uses for the one-sided cone rows
+    # (balance_controller.cpp:296-297). The IPM drops infinite rows instead.
+    big_bound: float = 1.0e6
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlConfig:
+    """Top-level bundle: everything the commander node reads."""
+
+    frequency: float = 300.0  # mit_cheetah_config.yaml:3
+    cmd_integration_dt: float = 0.001  # commander_node.cpp:344
+    kinematics: KinematicsConfig = KinematicsConfig()
+    gait: GaitConfig = GaitConfig()
+    foot_planner: FootPlannerConfig = FootPlannerConfig()
+    balance: BalanceConfig = BalanceConfig()
+    joint_control: JointControlConfig = JointControlConfig()
+    stand: StandConfig = StandConfig()
+    solver: SolverConfig = SolverConfig()
+
+
+def mit_cheetah_config() -> ControlConfig:
+    """The shipped MIT Mini Cheetah preset (mit_cheetah_config.yaml)."""
+    return ControlConfig()
+
+
+def srb_params_array(cfg: BalanceConfig, dtype=np.float64):
+    """Pack SRB dynamics params as a flat numpy array for scenario dumps."""
+    return np.array(
+        [cfg.mass, *cfg.inertia_diag, cfg.mu, cfg.fz_min, cfg.fz_max], dtype=dtype
+    )

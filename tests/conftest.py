@@ -1,0 +1,34 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests use
+``--xla_force_host_platform_device_count=8`` so ``jax.sharding.Mesh`` logic is
+exercised for real (collectives included) on host CPU. Numeric oracles run in
+float64 (enabled below), which the TPU path then has to match in float32
+within documented tolerances.
+
+NOTE: on machines where a TPU plugin is pre-registered via sitecustomize
+(before pytest imports this file), env vars alone cannot redirect the
+platform — we must force it through ``jax.config`` before any backend
+initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
