@@ -74,11 +74,18 @@ def sextic_track(coeffs, t):
     Returns:
       FootState with (..., 3) position and velocity.
     """
-    t = jnp.asarray(t, dtype=coeffs.dtype)[..., None]
-    k = jnp.arange(7, dtype=coeffs.dtype)
-    powers = t ** k  # [1, t, t^2, ..., t^6]
-    dpowers = jnp.concatenate(
-        [jnp.zeros_like(t), k[1:] * t ** (k[1:] - 1.0)], axis=-1
+    t = jnp.asarray(t, dtype=coeffs.dtype)
+    # Powers built multiplicatively (autodiff-safe at t = 0, unlike t**k).
+    one = jnp.ones_like(t)
+    t2 = t * t
+    t3 = t2 * t
+    t4 = t3 * t
+    t5 = t4 * t
+    t6 = t5 * t
+    powers = jnp.stack([one, t, t2, t3, t4, t5, t6], axis=-1)
+    zero = jnp.zeros_like(t)
+    dpowers = jnp.stack(
+        [zero, one, 2 * t, 3 * t2, 4 * t3, 5 * t4, 6 * t5], axis=-1
     )
     position = jnp.einsum("...k,...kd->...d", powers, coeffs)
     velocity = jnp.einsum("...k,...kd->...d", dpowers, coeffs)

@@ -1,0 +1,131 @@
+"""Batched ADMM QP solver (OSQP-style splitting), float32-robust.
+
+Companion to solver/ipm.py. The interior-point method is quadratically
+convergent but its condensed barrier system grows ill-conditioned as the
+barrier sharpens — in float32 (the TPU's native precision) a tail of
+instances stalls. ADMM splitting has the opposite trade: linear convergence
+but a FIXED, well-conditioned linear system
+
+    P = Q + sigma I + rho G^T G
+
+factored once per instance and reused for every iteration — each iteration
+is two matvecs, a clip, and a multiplier update. This is exactly why OSQP
+runs on float32 embedded hardware, and why it maps perfectly onto the TPU:
+one batched 12x12 Cholesky, then ~100 MXU/VPU-friendly fused iterations with
+no data-dependent control flow.
+
+Problem form matches ops/dynamics.py and solver/ipm.py:
+
+    min_x 1/2 x^T Q x + c^T x   s.t.   G x <= h
+
+Reference for the algorithm: Stellato et al., "OSQP: An Operator Splitting
+Solver for Quadratic Programs" (2020). This is a from-scratch JAX
+implementation specialized to one-sided inequality constraints.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quadruped_control_tpu.solver.ipm import (
+    IPMSolution,
+    _cholesky_solve,
+    _polish,
+    equilibrate,
+)
+
+
+@partial(jax.jit, static_argnames=("iterations", "polish", "scale"))
+def solve_qp_admm(Q, c, G, h, iterations: int = 120, tol: float = 1e-7,
+                  rho: float = 1.0, sigma: float = 1e-6, alpha: float = 1.6,
+                  polish: bool = True, scale: bool = True) -> IPMSolution:
+    """Solve a batch of QPs by ADMM splitting.
+
+    Args:
+      Q, c, G, h: batched problem data (see solve_qp_ipm).
+      iterations: fixed ADMM iteration count (static).
+      rho: step/penalty parameter (on the equilibrated problem; the
+        constraint rows are unit-norm after scaling so one global rho works).
+      sigma: x-regularization.
+      alpha: over-relaxation (1.6 is the OSQP default and provably helps).
+      polish: run the active-set polish afterwards (shared with the IPM).
+      scale: equilibrate first (strongly recommended; required for f32).
+
+    Returns:
+      IPMSolution (same container as the IPM path; ``s`` is the constraint
+      slack h - Gx clipped at 0).
+    """
+    if scale:
+        Q0, c0, G0, h0 = Q, c, G, h
+        Q, c, G, h, Dv, Er, nu = equilibrate(Q, c, G, h)
+    dtype = Q.dtype
+    m = G.shape[-2]
+    n = Q.shape[-1]
+
+    rho = jnp.asarray(rho, dtype)
+    sigma = jnp.asarray(sigma, dtype)
+    alpha = jnp.asarray(alpha, dtype)
+
+    P = (
+        Q
+        + sigma * jnp.eye(n, dtype=dtype)
+        + rho * jnp.einsum("...ki,...kj->...ij", G, G)
+    )
+    L = jnp.linalg.cholesky(P)
+
+    x0 = jnp.zeros_like(c)
+    y0 = jnp.zeros(jnp.broadcast_shapes(h.shape), dtype=dtype)  # slack var Gx
+    lam0 = jnp.zeros_like(y0)
+
+    def body(_, carry):
+        x, y, lam = carry
+        rhs = sigma * x - c + jnp.einsum(
+            "...ji,...j->...i", G, rho * y - lam
+        )
+        x_t = _cholesky_solve(L, rhs)
+        Gx_t = jnp.einsum("...ij,...j->...i", G, x_t)
+
+        x_new = alpha * x_t + (1.0 - alpha) * x
+        y_relax = alpha * Gx_t + (1.0 - alpha) * y
+        y_new = jnp.minimum(y_relax + lam / rho, h)  # project onto {y <= h}
+        lam_new = lam + rho * (y_relax - y_new)
+        return (x_new, y_new, lam_new)
+
+    x, y, lam = lax.fori_loop(0, iterations, body, (x0, y0, lam0))
+    z = jnp.maximum(lam, 0.0)
+    s = jnp.maximum(h - jnp.einsum("...ij,...j->...i", G, x), 0.0)
+
+    if polish:
+        # Reuse the shared polish; ADMM's multiplier directly flags activity.
+        x, z, s = _polish(Q, c, G, h, x, z, s)
+
+    if scale:
+        x = x * Dv
+        z = z * Er / nu[..., None]
+        s = s / Er
+        Q, c, G, h = Q0, c0, G0, h0
+
+    r_dual = (
+        jnp.einsum("...ij,...j->...i", Q, x)
+        + c
+        + jnp.einsum("...ji,...j->...i", G, z)
+    )
+    r_prim = jnp.maximum(jnp.einsum("...ij,...j->...i", G, x) - h, 0.0)
+    gap = jnp.abs(jnp.sum(s * z, axis=-1)) / m
+    obj_scale = 1.0 + jnp.max(jnp.abs(c), axis=-1)
+    h_scale = 1.0 + jnp.max(jnp.abs(h), axis=-1)
+    pr = jnp.max(r_prim, axis=-1)
+    dr = jnp.max(jnp.abs(r_dual), axis=-1)
+    converged = (pr < tol * h_scale) & (dr < tol * obj_scale) & \
+                (gap < tol * obj_scale)
+
+    return IPMSolution(
+        x=x, z=z, s=s,
+        iterations=jnp.asarray(iterations),
+        gap=gap, primal_residual=pr, dual_residual=dr, converged=converged,
+    )
