@@ -112,6 +112,14 @@ class BalanceConfig:
     kd_w: Tuple[float, float, float] = (500.0, 500.0, 500.0)
     torque_min: float = -20.0
     torque_max: float = 20.0
+    # z-component of the gravity term added to xddot_d in the SRB b-vector.
+    # The reference codes b = m (xddot_d + g) with g = (0, 0, -9.81)
+    # (balance_controller.cpp:78, 265) — the OPPOSITE sign from [R1] Focchi
+    # Eq. 5, partially compensated by the tuned kff z feedforward. Kept as
+    # the parity default; the "physical" preset flips it (+9.81) and zeroes
+    # kff so the closed-loop equilibrium sits exactly at the commanded
+    # height under true rigid-body physics.
+    gravity_z_term: float = -GRAVITY
 
     def inertia(self, dtype=jnp.float32):
         return jnp.diag(jnp.array(self.inertia_diag, dtype=dtype))
@@ -171,6 +179,22 @@ class ControlConfig:
 def mit_cheetah_config() -> ControlConfig:
     """The shipped MIT Mini Cheetah preset (mit_cheetah_config.yaml)."""
     return ControlConfig()
+
+
+def mit_cheetah_physical_config() -> ControlConfig:
+    """MIT Mini Cheetah preset with physically-consistent gravity handling.
+
+    Fixes the reference's SRB gravity-sign slip (see
+    ``BalanceConfig.gravity_z_term``) and removes the compensating kff z
+    feedforward, so closed-loop rollouts on the SRB plant surrogate settle
+    exactly at the commanded height. Use for demos/rollouts; use
+    ``mit_cheetah_config`` for parity validation against the reference."""
+    return ControlConfig(
+        balance=BalanceConfig(
+            kff=(0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+            gravity_z_term=GRAVITY,
+        )
+    )
 
 
 def srb_params_array(cfg: BalanceConfig, dtype=np.float64):

@@ -1,0 +1,207 @@
+"""The commander control tick as a single pure function.
+
+TPU-native re-implementation of the reference's commander node main loop
+(commander_node.cpp:372-557, call stack SURVEY.md §3.1). The ROS node's
+pub/sub boundaries, service flags, and the gait scheduler thread disappear:
+one jitted function maps (robot state, carried controller state, command) to
+joint torques. The function is fully batchable — vmap over scenario batches
+turns the 100 Hz control tick into the "gait-cycle QP stream" benchmark
+(BASELINE config 3).
+
+State machine parity (commander_node.cpp:377-479):
+  - not standing: stance gait, balance control drives the CoM to the stand
+    target (the ``stand_up`` path, §3.3).
+  - standing height reached (|z - 0.26| < 5 mm): start the gait clock.
+  - walking: integrate the commanded twist for the desired pose, plan
+    footholds on stance->swing edges, track sextic swing trajectories.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from quadruped_control_tpu.config import ControlConfig
+from quadruped_control_tpu.math.numerics import almost_equal
+from quadruped_control_tpu.math.rotations import transform_adjoint
+from quadruped_control_tpu.ops import dynamics as dyn
+from quadruped_control_tpu.ops.foot_planner import plan_footholds
+from quadruped_control_tpu.ops.gait import gait_at_time
+from quadruped_control_tpu.ops.joint_control import joint_pd_control
+from quadruped_control_tpu.ops.kinematics import (
+    forward_kinematics,
+    inverse_kinematics,
+    jacobian_transpose_control,
+    leg_jacobian_inverse,
+)
+from quadruped_control_tpu.ops.trajectory import (
+    integrate_twist_yaw,
+    plan_swing_trajectories,
+    reference_foot_states,
+    swing_time_of_phase,
+)
+from quadruped_control_tpu.solver.ipm import solve_qp_ipm
+from quadruped_control_tpu.types import (
+    ComState,
+    Gait,
+    JointState,
+    PlannerState,
+    init_planner_state,
+    make_stance_gait,
+)
+
+
+class CommanderCarry(NamedTuple):
+    """Scan-carried controller state (the reference's static/global flags:
+    ``standing``, ``gait_running`` commander_node.cpp:365-366, the gait
+    clock, and the planner/trajectory state)."""
+
+    standing: jnp.ndarray  # (...,) bool
+    gait_time: jnp.ndarray  # (...,) seconds since gait start (<0: not running)
+    planner: PlannerState
+
+
+class CommanderOutput(NamedTuple):
+    torques: jnp.ndarray  # (..., 4, 3) clamped joint torques
+    forces_body: jnp.ndarray  # (..., 4, 3) stance GRFs in body frame
+    forces_world: jnp.ndarray  # (..., 12) raw QP solution
+    gait: Gait
+    foot_refs_world: jnp.ndarray  # (..., 4, 3) swing foot reference positions
+    swing_q_ref: jnp.ndarray  # (..., 4, 3)
+    qp_converged: jnp.ndarray  # (...,)
+
+
+def init_commander_carry(batch_shape=(), dtype=jnp.float32) -> CommanderCarry:
+    return CommanderCarry(
+        standing=jnp.zeros(batch_shape, dtype=bool),
+        gait_time=jnp.full(batch_shape, -1.0, dtype=dtype),
+        planner=init_planner_state(batch_shape, dtype=dtype),
+    )
+
+
+def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
+                   cmd_twist, dt, cfg: ControlConfig,
+                   qp_iterations: int = 15, qp_polish: bool = True):
+    """One control tick. All arguments broadcast over leading batch dims.
+
+    Args:
+      com: CoM state (world frame).
+      joints: per-leg joint states.
+      carry: carried controller state.
+      cmd_twist: (..., 6) commanded body twist (cmd_vel).
+      dt: control period (1 / cfg.frequency).
+    Returns:
+      (CommanderOutput, CommanderCarry).
+    """
+    dtype = com.x.dtype
+    kin = cfg.kinematics
+    gait_cfg = cfg.gait
+
+    # 1. FK: feet in body frame (commander_node.cpp:383-384).
+    feet_body = forward_kinematics(joints.q, kin)
+
+    # 2. Standing detection (commander_node.cpp:387-391); latching.
+    standing = jnp.logical_or(
+        carry.standing,
+        almost_equal(com.x[..., 2], cfg.stand.height, cfg.stand.height_tolerance),
+    )
+    # Gait clock starts one tick after standing (commander_node.cpp:474-478).
+    gait_running = carry.gait_time >= 0.0
+    gait_time = jnp.where(
+        gait_running, carry.gait_time + dt,
+        jnp.where(standing, jnp.zeros_like(carry.gait_time), carry.gait_time),
+    )
+    walking = gait_time >= 0.0
+
+    # 3. Desired CoM state: stand target, or integrated twist when walking
+    #    (commander_node.cpp:346-364, 399-427).
+    R_d_walk, x_d_walk = integrate_twist_yaw(
+        com.R, com.x, cmd_twist, cfg.cmd_integration_dt
+    )
+    x_d_walk = x_d_walk.at[..., 2].set(cfg.stand.height)  # height pinned (:407)
+    Vw = (transform_adjoint(com.R, com.x) @ cmd_twist[..., None])[..., 0]
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), com.R.shape)
+    x_stand = jnp.zeros_like(com.x).at[..., 2].set(cfg.stand.height)
+    wmask = walking[..., None]
+    R_d = jnp.where(wmask[..., None], R_d_walk, eye)
+    x_d = jnp.where(wmask, x_d_walk, x_stand)
+    xdot_d = jnp.where(wmask, Vw[..., :3], 0.0)
+    w_d = jnp.where(wmask, Vw[..., 3:], 0.0)
+
+    # 4. Gait schedule: stance until the clock runs (commander_node.cpp:369,433).
+    gait_walk = gait_at_time(jnp.maximum(gait_time, 0.0), gait_cfg, dtype=dtype)
+    stance_gait = make_stance_gait(batch_shape=gait_walk.phase.shape[:-1],
+                                   dtype=dtype)
+    gait = Gait(
+        in_stance=jnp.where(wmask, gait_walk.in_stance, stance_gait.in_stance),
+        phase=jnp.where(wmask, gait_walk.phase, stance_gait.phase),
+    )
+
+    # 5. Foothold planning on stance->swing edges (commander_node.cpp:436-441).
+    plan = plan_footholds(
+        carry.planner.prev_in_stance, carry.planner.initialized, gait,
+        gait_cfg.t_stance, com.R, com.x, com.xdot, com.w, xdot_d, feet_body,
+        cfg.foot_planner,
+    )
+
+    # 6. Swing trajectory replan: p_start = world-frame current foot
+    #    (commander_node.cpp:451-461).
+    p_start = (
+        jnp.einsum("...ij,...lj->...li", com.R, feet_body) + com.x[..., None, :]
+    )
+    traj = plan_swing_trajectories(
+        carry.planner.traj, p_start, plan.footholds, plan.replan, gait_cfg
+    )
+
+    # 7. Swing-leg joint references (commander_node.cpp:482-500).
+    foot_ref = reference_foot_states(traj, gait, gait_cfg)
+    # World -> body transform with the reference's exact quirk:
+    # p_b = R^T p_w - x (commander_node.cpp:491, NOT R^T (p - x)).
+    p_ref_body = (
+        jnp.einsum("...ji,...lj->...li", com.R, foot_ref.position)
+        - com.x[..., None, :]
+    )
+    v_ref_body = jnp.einsum("...ji,...lj->...li", com.R, foot_ref.velocity)
+    q_ref = inverse_kinematics(p_ref_body, kin)
+    qdot_ref = (leg_jacobian_inverse(q_ref, kin) @ v_ref_body[..., None])[..., 0]
+
+    # 8. Swing PD torques (commander_node.cpp:503-504).
+    tau_swing = joint_pd_control(q_ref, qdot_ref, joints.q, joints.qdot,
+                                 cfg.joint_control)
+
+    # 9. Balance controller QP (commander_node.cpp:507-508).
+    qp = dyn.build_balance_qp(
+        com.R, R_d, com.x, com.xdot, com.w, x_d, xdot_d, w_d, feet_body,
+        gait.in_stance, cfg.balance,
+    )
+    sol = solve_qp_ipm(qp.Q, qp.c, qp.G, qp.h, iterations=qp_iterations,
+                       polish=qp_polish, tol=3e-5)
+    forces_body = dyn.forces_to_body_frame(sol.x, com.R, gait.in_stance)
+
+    # 10. Stance torques tau = J^T f; merge by stance mask; clamp
+    #     (commander_node.cpp:511-531).
+    tau_stance = jacobian_transpose_control(joints.q, forces_body, kin)
+    tau = jnp.where(gait.in_stance[..., None], tau_stance, tau_swing)
+    tau = jnp.clip(tau, cfg.balance.torque_min, cfg.balance.torque_max)
+
+    new_carry = CommanderCarry(
+        standing=standing,
+        gait_time=gait_time,
+        planner=PlannerState(
+            prev_in_stance=plan.prev_in_stance,
+            initialized=plan.initialized,
+            traj=traj,
+        ),
+    )
+    out = CommanderOutput(
+        torques=tau,
+        forces_body=forces_body,
+        forces_world=sol.x,
+        gait=gait,
+        foot_refs_world=foot_ref.position,
+        swing_q_ref=q_ref,
+        qp_converged=sol.converged,
+    )
+    return out, new_carry

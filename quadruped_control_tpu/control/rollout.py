@@ -1,0 +1,125 @@
+"""Closed-loop rollouts: commander x SRB plant composed in one lax.scan.
+
+The reference's closed loop is two OS processes exchanging ROS topics at
+100-600 Hz (SURVEY.md §3.1-3.2). Here the whole loop — control tick, QP
+solve, plant step — is a single jitted scan body, so a multi-second gait
+rollout for thousands of domain-randomized scenarios runs entirely on
+device. This is the harness behind BASELINE configs 1-3 (stand-up, pose
+tracking, trotting) and the walking-speed behavior checks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quadruped_control_tpu.config import ControlConfig
+from quadruped_control_tpu.control.commander import (
+    CommanderCarry,
+    commander_step,
+    init_commander_carry,
+)
+from quadruped_control_tpu.control.plant import (
+    PlantState,
+    init_plant_state,
+    plant_step,
+)
+
+
+class RolloutTrace(NamedTuple):
+    """Per-step telemetry (stacked along the leading time axis)."""
+
+    x: jnp.ndarray  # (T, ..., 3) CoM position
+    xdot: jnp.ndarray  # (T, ..., 3)
+    standing: jnp.ndarray  # (T, ...)
+    in_stance: jnp.ndarray  # (T, ..., 4)
+    qp_converged: jnp.ndarray  # (T, ...)
+    torque_max: jnp.ndarray  # (T, ...) inf-norm of commanded torques
+
+
+class RolloutResult(NamedTuple):
+    plant: PlantState
+    carry: CommanderCarry
+    trace: RolloutTrace
+
+
+@partial(jax.jit, static_argnames=("steps", "cfg", "qp_iterations",
+                                   "qp_polish", "record"))
+def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
+            cfg: ControlConfig, qp_iterations: int = 12,
+            qp_polish: bool = False, record: bool = True) -> RolloutResult:
+    """Run ``steps`` control ticks of the closed loop.
+
+    Args:
+      plant: initial plant state (see control/plant.init_plant_state).
+      carry: initial commander carry.
+      cmd_twist: (..., 6) commanded body twist, constant over the rollout
+        (time-varying commands: call rollout repeatedly or scan outside).
+      steps: number of control ticks (static).
+      cfg: control configuration; the control period is 1/cfg.frequency and
+        the plant integrates one step per tick.
+      qp_polish: polish is OFF by default in rollouts — closed-loop control
+        needs ~1e-3 N force accuracy, not certificate-grade parity, and the
+        barrier solve alone is several times faster.
+    Returns:
+      RolloutResult with final states and (optionally) the telemetry trace.
+    """
+    dt = 1.0 / cfg.frequency
+
+    def body(state, _):
+        plant_s, carry_s = state
+        out, carry_next = commander_step(
+            plant_s.com, plant_s.joints, carry_s, cmd_twist, dt, cfg,
+            qp_iterations=qp_iterations, qp_polish=qp_polish,
+        )
+        plant_next = plant_step(
+            plant_s, out.forces_world, out.gait.in_stance,
+            out.foot_refs_world, dt, cfg,
+        )
+        if record:
+            trace = RolloutTrace(
+                x=plant_next.com.x,
+                xdot=plant_next.com.xdot,
+                standing=carry_next.standing,
+                in_stance=out.gait.in_stance,
+                qp_converged=out.qp_converged,
+                torque_max=jnp.max(jnp.abs(out.torques), axis=(-2, -1)),
+            )
+        else:
+            trace = 0
+        return (plant_next, carry_next), trace
+
+    (plant_f, carry_f), trace = lax.scan(body, (plant, carry), None,
+                                         length=steps)
+    return RolloutResult(plant=plant_f, carry=carry_f, trace=trace)
+
+
+def stand_up_rollout(cfg: ControlConfig, seconds: float = 2.0,
+                     batch_shape=(), dtype=jnp.float32,
+                     qp_iterations: int = 12) -> RolloutResult:
+    """The reference's stand_up scenario (§3.3): from the laying pose, pure
+    balance control to the standing height, zero commanded twist."""
+    steps = int(seconds * cfg.frequency)
+    plant = init_plant_state(cfg, batch_shape, dtype=dtype)
+    carry = init_commander_carry(batch_shape, dtype=dtype)
+    cmd = jnp.zeros(batch_shape + (6,), dtype=dtype)
+    return rollout(plant, carry, cmd, steps, cfg,
+                   qp_iterations=qp_iterations)
+
+
+def walk_rollout(cfg: ControlConfig, vx: float = 0.2, vy: float = 0.0,
+                 wz: float = 0.0, seconds: float = 4.0, batch_shape=(),
+                 dtype=jnp.float32, qp_iterations: int = 12) -> RolloutResult:
+    """Stand up, then trot with the commanded planar twist (the reference's
+    teleop walking demo, README.md:54-63)."""
+    stand = stand_up_rollout(cfg, seconds=1.5, batch_shape=batch_shape,
+                             dtype=dtype, qp_iterations=qp_iterations)
+    steps = int(seconds * cfg.frequency)
+    cmd = jnp.zeros(batch_shape + (6,), dtype=dtype)
+    cmd = cmd.at[..., 0].set(vx).at[..., 1].set(vy).at[..., 5].set(wz)
+    return rollout(stand.plant, stand.carry, cmd, steps, cfg,
+                   qp_iterations=qp_iterations)

@@ -142,7 +142,10 @@ def srb_dynamics(foot_positions, R, xddot_d, w_d, wdot_d,
     )
     A = jnp.concatenate([top, bottom], axis=-2)
 
-    gvec = jnp.array([0.0, 0.0, -GRAVITY], dtype=dtype)
+    # The gravity term's sign is configurable: the reference codes
+    # b = m (xddot_d + g) with g_z = -9.81 (balance_controller.cpp:78, 265),
+    # the physically-consistent form uses +9.81 (see config.BalanceConfig).
+    gvec = jnp.array([0.0, 0.0, cfg.gravity_z_term], dtype=dtype)
     b_lin = m[..., None] * (xddot_d + gvec)
 
     # Iw = R Ib R^T with diagonal Ib (balance_controller.cpp:251).

@@ -1,0 +1,72 @@
+"""Device-mesh sharding for the scenario batch (the distribution layer).
+
+The reference's "distributed backend" is the ROS master + TCPROS pub/sub
+between two processes (SURVEY.md §2); there is no data/model parallelism to
+port. The TPU-native parallel dimension is the QP-instance batch: scenarios
+shard over a 1-D ``scenario`` mesh axis (ICI within a slice, DCN across
+hosts via jax.distributed), compute is pure data parallelism, and scalar
+convergence metrics reduce with ``psum``-backed collectives that XLA inserts
+automatically from the sharding annotations.
+
+Multi-chip hardware is not required to develop against this module: an
+8-device host-CPU mesh (``--xla_force_host_platform_device_count=8``)
+exercises identical GSPMD partitioning.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quadruped_control_tpu.config import ControlConfig, mit_cheetah_config
+from quadruped_control_tpu.solver.ipm import solve_qp_ipm
+from quadruped_control_tpu.utils.scenarios import (
+    ScenarioBatch,
+    assemble_qp_batch,
+)
+
+SCENARIO_AXIS = "scenario"
+
+
+def scenario_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (SCENARIO_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (scenario) axis; replicate everything trailing."""
+    return NamedSharding(mesh, P(SCENARIO_AXIS))
+
+
+def shard_scenarios(s: ScenarioBatch, mesh: Mesh) -> ScenarioBatch:
+    """Place a scenario batch with its leading axis split over the mesh."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda a: jax.device_put(a, sharding) if a is not None else None, s
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "iterations", "polish"))
+def solve_scenarios_sharded(s: ScenarioBatch, cfg: ControlConfig = None,
+                            iterations: int = 15, polish: bool = True):
+    """Assemble + solve a (sharded) scenario batch.
+
+    With the inputs placed by :func:`shard_scenarios`, GSPMD partitions the
+    whole pipeline over the scenario axis; the scalar summary (global
+    convergence fraction) forces an all-reduce across the mesh — the
+    collective that replaces the reference's TCPROS status traffic.
+
+    Returns (x, converged, convergence_fraction).
+    """
+    cfg = cfg or mit_cheetah_config()
+    qp = assemble_qp_batch(s, cfg)
+    sol = solve_qp_ipm(qp.Q, qp.c, qp.G, qp.h, iterations=iterations,
+                       polish=polish, tol=3e-5)
+    frac = jnp.mean(sol.converged.astype(qp.Q.dtype))
+    return sol.x, sol.converged, frac

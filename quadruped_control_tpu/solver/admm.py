@@ -100,9 +100,10 @@ def solve_qp_admm(Q, c, G, h, iterations: int = 120, tol: float = 1e-7,
     z = jnp.maximum(lam, 0.0)
     s = jnp.maximum(h - jnp.einsum("...ij,...j->...i", G, x), 0.0)
 
+    certified = None
     if polish:
         # Reuse the shared polish; ADMM's multiplier directly flags activity.
-        x, z, s = _polish(Q, c, G, h, x, z, s)
+        x, z, s, certified = _polish(Q, c, G, h, x, z, s)
 
     if scale:
         x = x * Dv
@@ -123,6 +124,8 @@ def solve_qp_admm(Q, c, G, h, iterations: int = 120, tol: float = 1e-7,
     dr = jnp.max(jnp.abs(r_dual), axis=-1)
     converged = (pr < tol * h_scale) & (dr < tol * obj_scale) & \
                 (gap < tol * obj_scale)
+    if certified is not None:
+        converged = converged | certified
 
     return IPMSolution(
         x=x, z=z, s=s,

@@ -127,13 +127,12 @@ def _polish(Q, c, G, h, x_ipm, z_ipm, s_ipm):
     # misidentify the set (especially near degeneracy); a handful of swaps
     # with certified EQP solves repairs it. All instances run the same fixed
     # number of swaps; certified instances freeze.
-    a = (z_ipm > s_ipm).astype(dtype)
+    a0 = (z_ipm > s_ipm).astype(dtype)
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    certified0 = jnp.zeros(a0.shape[:-1], dtype=bool)
 
-    best_x, best_z, best_s = x_ipm, z_ipm, s_ipm
-    certified = jnp.zeros(a.shape[:-1], dtype=bool)
-
-    for _ in range(_POLISH_SWEEPS):
+    def sweep(_, carry):
+        a, best_x, best_z, best_s, certified = carry
         ok, x_p, z_p, slack_p = try_active(a)
         take = (ok & ~certified)[..., None]
         best_x = jnp.where(take, x_p, best_x)
@@ -157,8 +156,12 @@ def _polish(Q, c, G, h, x_ipm, z_ipm, s_ipm):
                           jnp.where(do_drop[..., None],
                                     a * (1.0 - onehot_drop), a))
         a = jnp.where(certified[..., None], a, a_new)
+        return a, best_x, best_z, best_s, certified
 
-    return best_x, best_z, best_s
+    _, best_x, best_z, best_s, certified = lax.fori_loop(
+        0, _POLISH_SWEEPS, sweep, (a0, x_ipm, z_ipm, s_ipm, certified0)
+    )
+    return best_x, best_z, best_s, certified
 
 
 def equilibrate(Q, c, G, h):
@@ -377,8 +380,9 @@ def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
     s = jnp.where(kf, s, bs)
     z = jnp.where(kf, z, bz)
 
+    certified = None
     if polish:
-        x, z, s = _polish(Q, c, G, h, x, z, s)
+        x, z, s, certified = _polish(Q, c, G, h, x, z, s)
 
     if scale:
         # Map back to the original problem's units.
@@ -400,6 +404,10 @@ def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
     dr = jnp.max(jnp.abs(r_dual), axis=-1)
     converged = (pr < tol * (1.0 + jnp.max(jnp.abs(h), axis=-1))) & \
                 (dr < tol * scale) & (gap < tol * scale)
+    if certified is not None:
+        # A polish certificate (KKT-verified at ~30 eps on the equilibrated
+        # problem) is a stronger statement than the tol-based check.
+        converged = converged | certified
 
     return IPMSolution(
         x=x, z=z, s=s,

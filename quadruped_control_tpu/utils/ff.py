@@ -51,22 +51,33 @@ def two_prod(a, b):
     return p, e
 
 
+def _df_add(a_hi, a_lo, b_hi, b_lo):
+    """Double-float addition: (a_hi + a_lo) + (b_hi + b_lo) -> (hi, lo)."""
+    s, e = two_sum(a_hi, b_hi)
+    e = e + (a_lo + b_lo)
+    hi, lo = two_sum(s, e)
+    return hi, lo
+
+
 def compensated_sum(terms, axis: int = -1):
-    """Neumaier compensated summation along ``axis``.
+    """Compensated summation along ``axis`` via a pairwise double-float
+    reduction tree (log-depth, fully vectorized — a sequential Neumaier scan
+    would serialize on TPU).
 
     Returns the sum accurate to ~eps * |sum| + n * eps^2 * sum|terms| —
     i.e. cancellation between large terms is captured instead of lost.
     """
     terms = jnp.moveaxis(terms, axis, 0)
-
-    def step(carry, t):
-        s, comp = carry
-        s_new, e = two_sum(s, t)
-        return (s_new, comp + e), None
-
-    init = (jnp.zeros_like(terms[0]), jnp.zeros_like(terms[0]))
-    (s, comp), _ = lax.scan(step, init, terms)
-    return s + comp
+    hi = terms
+    lo = jnp.zeros_like(terms)
+    while hi.shape[0] > 1:
+        k = hi.shape[0]
+        if k % 2 == 1:
+            hi = jnp.concatenate([hi, jnp.zeros_like(hi[:1])], axis=0)
+            lo = jnp.concatenate([lo, jnp.zeros_like(lo[:1])], axis=0)
+            k += 1
+        hi, lo = _df_add(hi[0::2], lo[0::2], hi[1::2], lo[1::2])
+    return hi[0] + lo[0]
 
 
 def residual_compensated(A, x, b):
@@ -113,7 +124,9 @@ def solve_refined(A, b, n_refine: int = 4):
         )[..., 0]
 
     x = lu_solve(b)
-    for _ in range(n_refine):
+
+    def refine(_, x):
         r = residual_compensated(A, x, b)
-        x = x + lu_solve(r)
-    return x
+        return x + lu_solve(r)
+
+    return lax.fori_loop(0, n_refine, refine, x)
