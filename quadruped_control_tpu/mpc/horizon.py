@@ -1,0 +1,227 @@
+"""Receding-horizon SRB MPC: the stacked GRF QP over a time horizon.
+
+BASELINE config 4 — a NEW capability relative to the reference (its balance
+controller is the single-step special case, balance_controller.cpp:98-235):
+the convex SRB MPC of Di Carlo et al., "Dynamic Locomotion in the MIT
+Cheetah 3 Through Convex Model-Predictive Control" (IROS 2018), rebuilt
+TPU-first. The horizon is this framework's "sequence" axis: N SRB steps
+stack into one QP over F = [f_0 ... f_{N-1}] with per-step friction cones,
+condensed through the linearized dynamics so the whole problem feeds the
+same batched IPM/polish stack as the single-step controller — and batches
+over scenarios exactly the same way.
+
+Linearized SRB state (13-dim, gravity as an affine state):
+    xi = [rpy(3), p(3), w(3), v(3), 1]
+    rpy_dot ~ Rz(yaw)^T w        (small roll/pitch, Di Carlo Eq. 10)
+    p_dot   = v
+    w_dot   = Iw^-1 sum_i r_i x f_i   (omega x Iw omega dropped — Eq. 14)
+    v_dot   = sum_i f_i / m - g zhat
+discretized by forward Euler at the MPC step dt.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from quadruped_control_tpu.config import GRAVITY, ControlConfig
+from quadruped_control_tpu.math.rotations import skew
+from quadruped_control_tpu.ops.dynamics import cone_constraints
+from quadruped_control_tpu.solver.ipm import solve_qp_ipm
+
+NX = 13  # state dim
+NU = 12  # GRFs per step
+
+
+class MPCProblem(NamedTuple):
+    H: jnp.ndarray  # (..., N*12, N*12)
+    c: jnp.ndarray  # (..., N*12)
+    G: jnp.ndarray  # (..., N*24, N*12)
+    h: jnp.ndarray  # (..., N*24)
+
+
+def srb_discrete_dynamics(yaw, feet_world, x_com, dt,
+                          cfg: ControlConfig, mass=None, inertia_diag=None):
+    """One-step discrete (A, B) of the linearized SRB.
+
+    Args:
+      yaw: (...,) current yaw (rotation linearization point).
+      feet_world: (..., 4, 3) foot positions (world).
+      x_com: (..., 3) CoM position.
+      dt: MPC step.
+    Returns:
+      A: (..., 13, 13), B: (..., 13, 12).
+    """
+    dtype = feet_world.dtype
+    bal = cfg.balance
+    m = jnp.asarray(bal.mass if mass is None else mass, dtype=dtype)
+    Ib_diag = jnp.asarray(
+        bal.inertia_diag if inertia_diag is None else inertia_diag,
+        dtype=dtype,
+    )
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    zero = jnp.zeros_like(cy)
+    one = jnp.ones_like(cy)
+    # Rz(yaw)^T maps world angular velocity to rpy rates (Di Carlo Eq. 10).
+    Rz_T = jnp.stack(
+        [
+            jnp.stack([cy, sy, zero], axis=-1),
+            jnp.stack([-sy, cy, zero], axis=-1),
+            jnp.stack([zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    )
+    Rz = jnp.swapaxes(Rz_T, -1, -2)
+    # World inertia at the linearization yaw.
+    Iw = (Rz * Ib_diag[..., None, :]) @ Rz_T
+    Iw_inv = jnp.linalg.inv(Iw)
+
+    batch = jnp.broadcast_shapes(cy.shape, feet_world.shape[:-2])
+    A = jnp.zeros(batch + (NX, NX), dtype=dtype)
+    A = A + jnp.eye(NX, dtype=dtype)
+    A = A.at[..., 0:3, 6:9].add(dt * Rz_T)
+    A = A.at[..., 3:6, 9:12].add(dt * jnp.eye(3, dtype=dtype))
+    A = A.at[..., 11, 12].add(-dt * GRAVITY)
+
+    B = jnp.zeros(batch + (NX, NU), dtype=dtype)
+    r = feet_world - x_com[..., None, :]
+    for leg in range(4):
+        cols = slice(3 * leg, 3 * leg + 3)
+        B = B.at[..., 6:9, cols].set(dt * (Iw_inv @ skew(r[..., leg, :])))
+        B = B.at[..., 9:12, cols].set(
+            (dt / m)[..., None, None] * jnp.eye(3, dtype=dtype)
+        )
+    return A, B
+
+
+def build_mpc_qp(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
+                 horizon: int, dt, cfg: ControlConfig,
+                 state_weights=None, force_weight: float = 1e-6,
+                 mass=None, inertia_diag=None, mu=None) -> MPCProblem:
+    """Condense the N-step SRB tracking problem into one dense QP.
+
+    min sum_t |xi_t - xi_ref_t|^2_L + alpha |f_t|^2
+    s.t. xi_{t+1} = A xi_t + B_t f_t,  cone(f_t, stance_t)
+
+    Args:
+      xi0: (..., 13) initial state.
+      xi_ref: (..., N, 13) reference trajectory.
+      yaw / feet_world / x_com: linearization data (held over the horizon —
+        the standard convex-MPC approximation).
+      stance_schedule: (..., N, 4) stance mask per step (from the gait).
+      horizon: N (static).
+    Returns:
+      MPCProblem in the solver's standard form.
+    """
+    dtype = xi0.dtype
+    if state_weights is None:
+        # Di Carlo-style default: track orientation, height, velocities.
+        state_weights = jnp.array(
+            [50.0, 50.0, 10.0, 1.0, 1.0, 100.0,
+             1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 0.0], dtype=dtype
+        )
+    L = jnp.asarray(state_weights, dtype=dtype)
+
+    A, B = srb_discrete_dynamics(yaw, feet_world, x_com, dt, cfg,
+                                 mass=mass, inertia_diag=inertia_diag)
+    batch = A.shape[:-2]
+
+    # Powers of A and the condensed prediction matrices:
+    # xi_t = A^t xi0 + sum_{k<t} A^(t-1-k) B_k f_k,  t = 1..N.
+    # B_k has its swing-leg columns zeroed per the step's contact schedule —
+    # the horizon analogue of the single-step swing elimination
+    # (ops/dynamics.py): swing forces decouple from the dynamics and the
+    # alpha|f|^2 cost pins them to exactly 0.
+    N = horizon
+    Apow = [jnp.broadcast_to(jnp.eye(NX, dtype=dtype), batch + (NX, NX))]
+    for _ in range(N):
+        Apow.append(A @ Apow[-1])
+
+    col_mask = jnp.repeat(stance_schedule.astype(dtype), 3, axis=-1)
+    B_steps = [B * col_mask[..., t, None, :] for t in range(N)]
+
+    # Sqp: (N*NX, NX); Bqp: (N*NX, N*NU) block lower-triangular.
+    Sqp = jnp.concatenate([Apow[t] for t in range(1, N + 1)], axis=-2)
+    rows = []
+    for t in range(1, N + 1):
+        blocks = []
+        for k in range(N):
+            if k < t:
+                blocks.append(Apow[t - 1 - k] @ B_steps[k])
+            else:
+                blocks.append(jnp.zeros(batch + (NX, NU), dtype=dtype))
+        rows.append(jnp.concatenate(blocks, axis=-1))
+    Bqp = jnp.concatenate(rows, axis=-2)
+
+    Lbar = jnp.tile(L, N)  # (N*NX,)
+    err0 = jnp.einsum("...ij,...j->...i", Sqp, xi0) - xi_ref.reshape(
+        xi_ref.shape[:-2] + (N * NX,)
+    )
+    H = 2.0 * (
+        jnp.einsum("...ki,...k,...kj->...ij", Bqp, Lbar, Bqp)
+        + force_weight * jnp.eye(N * NU, dtype=dtype)
+    )
+    c = 2.0 * jnp.einsum("...ki,...k,...k->...i", Bqp, Lbar, err0)
+
+    # Per-step cone constraints, block-diagonal over the horizon.
+    G_steps = []
+    h_steps = []
+    for t in range(N):
+        Gt, ht = cone_constraints(stance_schedule[..., t, :], mu=mu,
+                                  cfg=cfg.balance, dtype=dtype)
+        G_steps.append(Gt)
+        h_steps.append(ht)
+    G = jax.scipy.linalg.block_diag(*G_steps) if not batch else None
+    if batch:
+        # Batched block-diag: place each (.., 24, 12) block manually.
+        G = jnp.zeros(batch + (24 * N, 12 * N), dtype=dtype)
+        for t in range(N):
+            G = G.at[..., 24 * t : 24 * t + 24, 12 * t : 12 * t + 12].set(
+                G_steps[t]
+            )
+    h = jnp.concatenate(h_steps, axis=-1)
+    return MPCProblem(H=H, c=c, G=G, h=h)
+
+
+@partial(jax.jit, static_argnames=("horizon", "cfg", "iterations"))
+def solve_mpc(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
+              horizon: int, dt, cfg: ControlConfig, iterations: int = 30,
+              mass=None, inertia_diag=None, mu=None):
+    """Build + solve the horizon QP; returns (forces (..., N, 12), solution).
+
+    Uses the generic IPM without the unrolled-12 linalg (the stacked system
+    is 12N-dimensional) and without polish (MPC consumes only f_0 at
+    ~1e-4-relative accuracy; the single-step controller path is the one held
+    to qpOASES parity).
+    """
+    qp = build_mpc_qp(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
+                      horizon, dt, cfg, mass=mass, inertia_diag=inertia_diag,
+                      mu=mu)
+    sol = solve_qp_ipm(qp.H, qp.c, qp.G, qp.h, iterations=iterations,
+                       polish=False, tol=1e-6, unrolled_linalg=False)
+    F = sol.x.reshape(sol.x.shape[:-1] + (horizon, NU))
+    return F, sol
+
+
+def make_reference_trajectory(xi0, cmd_twist, horizon: int, dt,
+                              target_height: float = 0.26):
+    """Constant-twist reference: integrate the commanded planar twist from
+    the current state (the MPC analogue of integrate_twist_yaw)."""
+    dtype = xi0.dtype
+    N = horizon
+    t = (jnp.arange(1, N + 1, dtype=dtype) * dt)[:, None]
+    ref = jnp.zeros(xi0.shape[:-1] + (N, NX), dtype=dtype)
+    yaw0 = xi0[..., 2:3]
+    vx, vy, wz = cmd_twist[..., 0:1], cmd_twist[..., 1:2], cmd_twist[..., 5:6]
+    ref = ref.at[..., 2].set((yaw0 + t[..., 0] * wz))
+    ref = ref.at[..., 3].set(xi0[..., 3:4] + t[..., 0] * vx)
+    ref = ref.at[..., 4].set(xi0[..., 4:5] + t[..., 0] * vy)
+    ref = ref.at[..., 5].set(target_height)
+    ref = ref.at[..., 9].set(vx)
+    ref = ref.at[..., 10].set(vy)
+    ref = ref.at[..., 8].set(wz)
+    ref = ref.at[..., 12].set(1.0)
+    return ref

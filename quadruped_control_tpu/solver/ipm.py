@@ -190,11 +190,12 @@ def equilibrate(Q, c, G, h):
     return Qs, cs, Gs, hs, Dv, Er, nu
 
 
-@partial(jax.jit, static_argnames=("iterations", "polish", "scale", "d_max", "reg_factor"))
+@partial(jax.jit, static_argnames=("iterations", "polish", "scale", "d_max", "reg_factor", "unrolled_linalg"))
 def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
                  tau: float = 0.995, static_reg: float = 0.0,
                  polish: bool = True, scale: bool = True,
-                 d_max: float | None = None, reg_factor: float = 100.0) -> IPMSolution:
+                 d_max: float | None = None, reg_factor: float = 100.0,
+                 unrolled_linalg: bool = True) -> IPMSolution:
     """Solve a batch of inequality-constrained QPs.
 
     Args:
@@ -291,12 +292,29 @@ def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
         # true M — the standard condensed-KKT recipe.
         diag_M = jnp.diagonal(M, axis1=-2, axis2=-1)
         delta = (reg_factor * eps) * jnp.max(diag_M, axis=-1)
-        L = jnp.linalg.cholesky(M + delta[..., None, None] * eye_n)
+        M_reg = M + delta[..., None, None] * eye_n
 
-        def kkt_solve(rhs):
-            dx = _cholesky_solve(L, rhs)
-            resid = rhs - jnp.einsum("...ij,...j->...i", M, dx)
-            return dx + _cholesky_solve(L, resid)
+        if unrolled_linalg:
+            # Fully-unrolled batched Cholesky: elementwise on (B,) lanes,
+            # ~10x faster than XLA's generic batched factorization for n=12.
+            from quadruped_control_tpu.solver.smallalg import (
+                cholesky_solve_unrolled,
+                cholesky_unrolled,
+            )
+
+            Lu = cholesky_unrolled(M_reg, n)
+
+            def kkt_solve(rhs):
+                dx = cholesky_solve_unrolled(Lu, rhs, n)
+                resid = rhs - jnp.einsum("...ij,...j->...i", M, dx)
+                return dx + cholesky_solve_unrolled(Lu, resid, n)
+        else:
+            L = jnp.linalg.cholesky(M_reg)
+
+            def kkt_solve(rhs):
+                dx = _cholesky_solve(L, rhs)
+                resid = rhs - jnp.einsum("...ij,...j->...i", M, dx)
+                return dx + _cholesky_solve(L, resid)
 
         mu = jnp.sum(s * z, axis=-1) / m
 
