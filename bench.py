@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from quadruped_control_tpu.config import mit_cheetah_config
-from quadruped_control_tpu.solver.ipm import solve_qp_ipm
+from quadruped_control_tpu.solver.pallas_ipm import solve_qp_ipm_pallas
 from quadruped_control_tpu.utils.scenarios import (
     assemble_qp_batch,
     grf_scenarios,
@@ -34,7 +34,7 @@ from quadruped_control_tpu.utils.scenarios import (
 
 BASELINE_QPS = 100.0  # reference: 1 warm-started 12x20 QP / 10 ms, 1 core
 BATCH = 16384
-ITERATIONS = 15
+ITERATIONS = 20
 REPS = 10
 
 
@@ -51,8 +51,8 @@ def main():
     def pipeline(key):
         s = grf_scenarios(key, BATCH, cfg, dtype=jnp.float32)
         qp = assemble_qp_batch(s, cfg)
-        sol = solve_qp_ipm(qp.Q, qp.c, qp.G, qp.h, iterations=ITERATIONS,
-                           polish=True, tol=3e-5)
+        sol = solve_qp_ipm_pallas(qp.Q, qp.c, qp.G, qp.h,
+                                  iterations=ITERATIONS, polish=True)
         return sol.x, sol.converged, qp, s.stance
 
     key = jax.random.key(0)

@@ -14,6 +14,7 @@ All functions take (..., n, n) / (..., n) arrays with any batch shape.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -30,8 +31,12 @@ def cholesky_unrolled(A, n: int):
         d = a[j][j]
         for k in range(j):
             d = d - L[j][k] * L[j][k]
-        inv = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30))
-        L[j][j] = 1.0 / inv  # sqrt(d)
+        # Non-PD pivot -> NaN, matching jnp.linalg.cholesky semantics: the
+        # solver's finite-step guard then rejects the step instead of
+        # accepting a huge-but-finite garbage direction.
+        d = jnp.where(d > 0.0, d, jnp.nan)
+        inv = jax.lax.rsqrt(d)
+        L[j][j] = d * inv  # sqrt(d)
         for i in range(j + 1, n):
             v = a[i][j]
             for k in range(j):
