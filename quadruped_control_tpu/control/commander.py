@@ -55,11 +55,16 @@ from quadruped_control_tpu.types import (
 class CommanderCarry(NamedTuple):
     """Scan-carried controller state (the reference's static/global flags:
     ``standing``, ``gait_running`` commander_node.cpp:365-366, the gait
-    clock, and the planner/trajectory state)."""
+    clock, the planner/trajectory state, and the QP warm-start triple — the
+    batched analogue of qpOASES's hotstart across ticks,
+    balance_controller.cpp:193-195)."""
 
     standing: jnp.ndarray  # (...,) bool
     gait_time: jnp.ndarray  # (...,) seconds since gait start (<0: not running)
     planner: PlannerState
+    qp_x: jnp.ndarray  # (..., 12) previous primal solution
+    qp_s: jnp.ndarray  # (..., 24) previous slacks
+    qp_z: jnp.ndarray  # (..., 24) previous duals
 
 
 class CommanderOutput(NamedTuple):
@@ -77,12 +82,16 @@ def init_commander_carry(batch_shape=(), dtype=jnp.float32) -> CommanderCarry:
         standing=jnp.zeros(batch_shape, dtype=bool),
         gait_time=jnp.full(batch_shape, -1.0, dtype=dtype),
         planner=init_planner_state(batch_shape, dtype=dtype),
+        qp_x=jnp.zeros(batch_shape + (12,), dtype=dtype),
+        qp_s=jnp.ones(batch_shape + (24,), dtype=dtype),
+        qp_z=jnp.ones(batch_shape + (24,), dtype=dtype),
     )
 
 
 def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    cmd_twist, dt, cfg: ControlConfig,
-                   qp_iterations: int = 15, qp_polish: bool = True):
+                   qp_iterations: int = 15, qp_polish: bool = True,
+                   qp_warm_start: bool = False):
     """One control tick. All arguments broadcast over leading batch dims.
 
     Args:
@@ -176,8 +185,13 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         com.R, R_d, com.x, com.xdot, com.w, x_d, xdot_d, w_d, feet_body,
         gait.in_stance, cfg.balance,
     )
+    # Warm-starting across ticks (qpOASES-hotstart analogue) is opt-in: it
+    # speeds steady stance phases but the carried slacks go stale across
+    # stance-pattern transitions — pair it with enough iterations or
+    # transition-aware resets (future work) before enabling in rollouts.
+    warm = ((carry.qp_x, carry.qp_s, carry.qp_z) if qp_warm_start else None)
     sol = solve_qp_ipm(qp.Q, qp.c, qp.G, qp.h, iterations=qp_iterations,
-                       polish=qp_polish, tol=3e-5)
+                       polish=qp_polish, tol=3e-5, warm_start=warm)
     forces_body = dyn.forces_to_body_frame(sol.x, com.R, gait.in_stance)
 
     # 10. Stance torques tau = J^T f; merge by stance mask; clamp
@@ -194,6 +208,9 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
             initialized=plan.initialized,
             traj=traj,
         ),
+        qp_x=sol.x,
+        qp_s=sol.s,
+        qp_z=sol.z,
     )
     out = CommanderOutput(
         torques=tau,

@@ -195,7 +195,8 @@ def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
                  tau: float = 0.995, static_reg: float = 0.0,
                  polish: bool = True, scale: bool = True,
                  d_max: float | None = None, reg_factor: float = 100.0,
-                 unrolled_linalg: bool = True) -> IPMSolution:
+                 unrolled_linalg: bool = False,
+                 warm_start=None) -> IPMSolution:
     """Solve a batch of inequality-constrained QPs.
 
     Args:
@@ -213,6 +214,12 @@ def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
         KKT matrix (0 disables).
       polish: run the active-set polish after the barrier loop.
       scale: equilibrate the problem first (required for float32).
+      warm_start: optional (x, s, z) in ORIGINAL units — typically the
+        previous tick's IPMSolution fields. Replaces the reference's
+        qpOASES hotstart economics (balance_controller.cpp:193-195) for
+        control/MPC streams: slacks and duals are pushed back to the
+        interior (Mehrotra shift) so a nearby previous solution converges
+        in a fraction of the cold-start schedule.
 
     Returns:
       IPMSolution with leading batch dims preserved; diagnostics are
@@ -227,15 +234,29 @@ def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
     eye_n = jnp.eye(n, dtype=dtype)
 
     # --- Initialization -----------------------------------------------------
-    # x0 = 0 (scale-free; the unconstrained minimizer -Q^-1 c is catastrophic
-    # for the GRF family, whose W-regularized Hessian has ~1e-5 eigenvalues);
-    # s0: clamped slack at x0; z0 = mu0 / s0 so every complementarity product
-    # starts at mu0 — this keeps the huge relaxed swing-row slacks (h ~ 1e4)
-    # from inflating mu.
-    x0 = jnp.zeros_like(c)
-    s0 = jnp.maximum(h, 1.0)
-    mu0 = jnp.asarray(1.0, dtype=dtype)
-    z0 = mu0 / s0
+    # Cold start: x0 = 0 (scale-free; the unconstrained minimizer -Q^-1 c is
+    # catastrophic for the GRF family, whose W-regularized Hessian has ~1e-5
+    # eigenvalues); s0: clamped slack at x0; z0 = mu0 / s0 so every
+    # complementarity product starts at mu0 — this keeps the huge relaxed
+    # swing-row slacks (h ~ 1e4) from inflating mu.
+    if warm_start is None:
+        x0 = jnp.zeros_like(c)
+        s0 = jnp.maximum(h, 1.0)
+        mu0 = jnp.asarray(1.0, dtype=dtype)
+        z0 = mu0 / s0
+    else:
+        xw, sw, zw = warm_start
+        if scale:
+            # Map original-unit warm values into equilibrated coordinates.
+            xw = xw / Dv
+            sw = sw * Er
+            zw = zw * nu[..., None] / Er
+        # Push back to the interior: a boundary start (s or z ~ 0) stalls
+        # the barrier; the shift re-centers at a modest mu.
+        interior = jnp.asarray(1e-2, dtype=dtype)
+        x0 = xw
+        s0 = jnp.maximum(sw, interior)
+        z0 = jnp.maximum(zw, interior)
 
     # Freeze thresholds: once an instance reaches machine-precision optimality
     # further Newton steps only amplify roundoff (d = z/s overflows and the
