@@ -189,7 +189,7 @@ def build_mpc_qp(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
 @partial(jax.jit, static_argnames=("horizon", "cfg", "iterations"))
 def solve_mpc(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
               horizon: int, dt, cfg: ControlConfig, iterations: int = 30,
-              mass=None, inertia_diag=None, mu=None):
+              mass=None, inertia_diag=None, mu=None, tol=None):
     """Build + solve the horizon QP; returns (forces (..., N, 12), solution).
 
     Uses the generic IPM without the unrolled-12 linalg (the stacked system
@@ -200,8 +200,15 @@ def solve_mpc(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
     qp = build_mpc_qp(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
                       horizon, dt, cfg, mass=mass, inertia_diag=inertia_diag,
                       mu=mu)
+    if tol is None:
+        # f32 cannot certify 1e-6-relative residuals on the 12N-var stacked
+        # system: the dual-residual floor sits ~2e-4 in the original units
+        # while the measured f32 OBJECTIVE parity vs the float64 oracle is
+        # ~2e-6 (objective is quadratically insensitive near the optimum).
+        # The flag threshold reflects the residual floor.
+        tol = 1e-6 if qp.H.dtype == jnp.float64 else 3e-4
     sol = solve_qp_ipm(qp.H, qp.c, qp.G, qp.h, iterations=iterations,
-                       polish=False, tol=1e-6, unrolled_linalg=False)
+                       polish=False, tol=tol, unrolled_linalg=False)
     F = sol.x.reshape(sol.x.shape[:-1] + (horizon, NU))
     return F, sol
 

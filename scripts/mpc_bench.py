@@ -59,16 +59,20 @@ def main(batch=256, horizon=10):
         jax.random.uniform(ks[4], (batch, 3), jnp.float32, 0.8, 1.2)
     mu = jax.random.uniform(ks[5], (batch,), jnp.float32, 0.5, 1.0)
 
-    fn = lambda: solve_mpc(xi0, ref, yaw, feet, x_com, sched, horizon, dt,
-                           cfg, iterations=30, mass=mass,
-                           inertia_diag=inertia, mu=mu)
+    # NOTE: feed fresh inputs per rep — repeated dispatch of identical
+    # inputs misbehaves on the axon tunnel (see CLAUDE.md).
+    def fn(pkey):
+        d = 1e-4 * jax.random.normal(pkey, xi0.shape, jnp.float32)
+        return solve_mpc(xi0 + d, ref, yaw, feet, x_com, sched, horizon, dt,
+                         cfg, iterations=30, mass=mass,
+                         inertia_diag=inertia, mu=mu)
     t0 = time.time()
-    F, sol = jax.block_until_ready(fn())
+    F, sol = jax.block_until_ready(fn(ks[6]))
     print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     reps = 5
-    for _ in range(reps):
-        F, sol = fn()
+    for i, pk in enumerate(jax.random.split(ks[7], reps)):
+        F, sol = fn(pk)
     jax.block_until_ready(F)
     dtm = (time.time() - t0) / reps
     conv = float(jnp.mean(sol.converged.astype(jnp.float32)))

@@ -22,8 +22,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# Default: CPU mesh + float64 oracles. Set QCT_TEST_TPU=1 to run the suite
+# against the real TPU instead (float64 unavailable there; only the
+# device-gated tests are meaningful in that mode).
+if not os.environ.get("QCT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
