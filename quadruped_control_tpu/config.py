@@ -197,6 +197,27 @@ def mit_cheetah_physical_config() -> ControlConfig:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class TeleopLimits:
+    """Commanded-twist scaling (the reference's PS4 teleop presets,
+    teleop_ps4_walking.yaml:5-12 — these ARE the published walking-envelope
+    numbers, README.md:56-63)."""
+
+    vx: float = 0.20
+    vy: float = 0.10
+    wz: float = 0.05
+
+    def clamp(self, twist):
+        """Clamp a (..., 6) body twist to the teleop envelope."""
+        lim = jnp.array([self.vx, self.vy, 0.0, 0.0, 0.0, self.wz],
+                        dtype=twist.dtype)
+        return jnp.clip(twist, -lim, lim)
+
+
+def teleop_walking_limits() -> TeleopLimits:
+    return TeleopLimits()
+
+
 def srb_params_array(cfg: BalanceConfig, dtype=np.float64):
     """Pack SRB dynamics params as a flat numpy array for scenario dumps."""
     return np.array(

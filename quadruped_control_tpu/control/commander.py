@@ -39,7 +39,6 @@ from quadruped_control_tpu.ops.trajectory import (
     integrate_twist_yaw,
     plan_swing_trajectories,
     reference_foot_states,
-    swing_time_of_phase,
 )
 from quadruped_control_tpu.solver.ipm import solve_qp_ipm
 from quadruped_control_tpu.types import (

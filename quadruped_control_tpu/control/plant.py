@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from quadruped_control_tpu.config import GRAVITY, ControlConfig
-from quadruped_control_tpu.math.rotations import skew, so3_exp
+from quadruped_control_tpu.math.rotations import so3_exp
 from quadruped_control_tpu.ops.kinematics import (
     forward_kinematics,
     inverse_kinematics,

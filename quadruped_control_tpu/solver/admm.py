@@ -26,8 +26,6 @@ implementation specialized to one-sided inequality constraints.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -32,11 +32,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from quadruped_control_tpu.solver.ipm import (
-    IPMSolution,
-    _polish,
-    equilibrate,
-)
+from quadruped_control_tpu.solver.ipm import IPMSolution, equilibrate
 
 N = 12
 M = 24

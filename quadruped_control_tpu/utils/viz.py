@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from quadruped_control_tpu.config import GaitConfig, LEG_NAMES
+from quadruped_control_tpu.config import LEG_NAMES
 from quadruped_control_tpu.ops.trajectory import sextic_track
 
 _LEG_COLORS = ("tab:blue", "tab:red", "tab:red", "tab:blue")  # diag pairs

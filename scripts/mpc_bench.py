@@ -61,6 +61,7 @@ def main(batch=256, horizon=10):
 
     # NOTE: feed fresh inputs per rep — repeated dispatch of identical
     # inputs misbehaves on the axon tunnel (see CLAUDE.md).
+    @jax.jit
     def fn(pkey):
         d = 1e-4 * jax.random.normal(pkey, xi0.shape, jnp.float32)
         return solve_mpc(xi0 + d, ref, yaw, feet, x_com, sched, horizon, dt,
