@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """MPC throughput benchmark (BASELINE configs 4-5).
 
+CAVEAT: small-dispatch timings on the axon relay are unreliable (see
+CLAUDE.md); treat throughput numbers from this script as indicative and
+prefer rep-scaling measurements for publication-grade figures.
+
 Solves batches of domain-randomized receding-horizon SRB MPC instances
 (N-step stacked QP, per-step trot contact schedules, randomized
 mass/inertia/friction) and reports horizon-QPs/s and equivalent single-step
@@ -60,20 +64,24 @@ def main(batch=256, horizon=10):
     mu = jax.random.uniform(ks[5], (batch,), jnp.float32, 0.5, 1.0)
 
     # NOTE: feed fresh inputs per rep — repeated dispatch of identical
-    # inputs misbehaves on the axon tunnel (see CLAUDE.md).
-    @jax.jit
-    def fn(pkey):
-        d = 1e-4 * jax.random.normal(pkey, xi0.shape, jnp.float32)
-        return solve_mpc(xi0 + d, ref, yaw, feet, x_com, sched, horizon, dt,
+    # inputs misbehaves on the axon tunnel (see CLAUDE.md). Perturbations
+    # are precomputed on host so the timing loop is dispatch-only.
+    reps = 5
+    rngh = np.random.default_rng(0)
+    xi0s = [xi0 + jnp.asarray(
+        1e-4 * rngh.standard_normal(xi0.shape), jnp.float32)
+        for _ in range(reps + 1)]
+
+    def fn(x):
+        return solve_mpc(x, ref, yaw, feet, x_com, sched, horizon, dt,
                          cfg, iterations=30, mass=mass,
                          inertia_diag=inertia, mu=mu)
     t0 = time.time()
-    F, sol = jax.block_until_ready(fn(ks[6]))
+    F, sol = jax.block_until_ready(fn(xi0s[0]))
     print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    reps = 5
-    for i, pk in enumerate(jax.random.split(ks[7], reps)):
-        F, sol = fn(pk)
+    for i in range(reps):
+        F, sol = fn(xi0s[i + 1])
     jax.block_until_ready(F)
     dtm = (time.time() - t0) / reps
     conv = float(jnp.mean(sol.converged.astype(jnp.float32)))
