@@ -1,0 +1,908 @@
+"""Fully-fused Pallas TPU kernel: GRF-QP assembly + equilibration + barrier
+IPM + certified active-set polish in ONE ``pallas_call``.
+
+The split pipeline (ops/dynamics.py assembly in XLA -> solver/pallas_ipm.py
+kernels) moves the dense problem data through HBM twice: Q (144 f32), G (288
+f32), c (12), h (24) per instance — 1.9 MB per 1024-instance grid step — and
+the XLA-side einsums/pack transposes cost more than the solve itself. This
+kernel instead takes the ~25 f32/instance of RAW scenario state the reference
+controller starts from (balance_controller.cpp:98-161):
+
+  - ``r``  (12): stance-masked world-frame CoM->foot vectors R @ p_i,
+  - ``b``   (6): the SRB Newton-Euler right-hand side,
+  - ``stance`` (4), ``mu`` (1), ``fz_min``/``fz_max`` (2),
+
+and rebuilds everything on-chip:
+
+  1. **Assembly** — Q = 2(A^T S A + W) expands in closed form: the top
+     (identity) blocks of A contribute S_lin * delta_ab to every leg-pair
+     block and the bottom (skew) blocks contribute skew(r_l)^T S_ang
+     skew(r_l') with 2-3 multiplies per entry; c = -2 A^T S b likewise. G is
+     never materialized as a dense 24x12: each friction-cone row has <= 2
+     nonzeros at STATIC positions (ops/dynamics.py `friction_cone_rows`), so
+     it is carried as per-row sparse (col, value) lists.
+  2. **Equilibration** — the same Jacobi/row/cost scaling as
+     solver/ipm.py::equilibrate, on tiles (diagonal scaling preserves G's
+     sparsity).
+  3. **Barrier loop** — identical algorithm to pallas_ipm._kernel, but every
+     G product (Gx, G^T z, the G^T D G normal-matrix term, G dx) uses the
+     sparse rows: the normal-matrix formation drops from M*n(n+1)/2 = 1872
+     to ~96 MACs/iteration.
+  4. **Polish** — identical algorithm to pallas_ipm._polish_kernel (36x36
+     quasidefinite LDL^T in VMEM scratch + refinement + Dekker-compensated
+     certification), with sparse-G assembly of the KKT and residuals.
+  5. **Map-back + diagnostics** — the solution is returned in ORIGINAL
+     units with the same converged/certified semantics as solve_qp_ipm, so
+     callers never touch the equilibrated problem.
+
+Instance layout matches pallas_ipm: one QP per vector lane, (8, 128) tiles,
+1024 instances per grid step, zero cross-lane traffic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quadruped_control_tpu.config import BalanceConfig
+from quadruped_control_tpu.ops.dynamics import SWING_ROW_RELAX, pd_accelerations
+from quadruped_control_tpu.solver.ipm import IPMSolution
+from quadruped_control_tpu.solver.pallas_ipm import (
+    LANE,
+    M,
+    N,
+    NK,
+    SUB,
+    TILE,
+    _POLISH_REFINE,
+    _POLISH_SWEEPS_PALLAS,
+    _ff_linear,
+    _pack,
+    _unpack,
+)
+
+# Friction-cone row sparsity (ops/dynamics.py friction_cone_rows, one-sided
+# form): per leg, row t has nonzeros in local columns _ROW_COLS[t] with signs
+# _ROW_SIGN[t]; the z-column entry of rows 0-3 is -mu (handled separately).
+_ROW_COLS = ((0, 2), (1, 2), (1, 2), (0, 2), (2,), (2,))
+_ROW_SIGN = ((1.0, None), (1.0, None), (-1.0, None), (-1.0, None),
+             (1.0,), (-1.0,))
+
+_N_DIAG = 6  # cert, conv, pr, dr, gap, reserved
+
+
+def _skew_quad(rl, rlp, d):
+    """3x3 block skew(rl)^T diag(d) skew(rlp) as a dict {(a,b): tile}."""
+    x, y, z = rl
+    xp, yp, zp = rlp
+    d1, d2, d3 = d
+    return {
+        (0, 0): d2 * z * zp + d3 * y * yp,
+        (0, 1): -d3 * y * xp,
+        (0, 2): -d2 * z * xp,
+        (1, 0): -d3 * x * yp,
+        (1, 1): d1 * z * zp + d3 * x * xp,
+        (1, 2): -d1 * z * yp,
+        (2, 0): -d2 * x * zp,
+        (2, 1): -d1 * y * zp,
+        (2, 2): d1 * y * yp + d2 * x * xp,
+    }
+
+
+def _assemble(r, b, st, mu, fzmin, fzmax, s_diag, w_diag, swing_relax):
+    """Closed-form QP assembly on (8,128) tiles.
+
+    Implements exactly ops/dynamics.py::{srb_dynamics (A side), assemble_qp,
+    cone_constraints} given the precomputed, stance-masked world CoM->foot
+    vectors ``r`` and SRB rhs ``b`` (balance_controller.cpp:152-153,
+    274-330).
+
+    Returns:
+      Qu: 2D upper list, Qu[i][j] for i <= j.
+      c:  list of N tiles.
+      Grow: list of M rows; each row is a list of (local_col, tile).
+      h:  list of M tiles.
+    """
+    f32 = jnp.float32
+    sl = [f32(2.0 * s_diag[k]) for k in range(3)]      # 2*S_lin baked in
+    sa = [f32(s_diag[3 + k]) for k in range(3)]        # S_ang (quad handles 2x)
+    w2 = f32(2.0 * w_diag)
+    one = jnp.ones_like(mu)
+
+    # Q upper triangle: block (l, l') for l <= l'.
+    Qu = [[None] * N for _ in range(N)]
+    for l in range(4):
+        for lp in range(l, 4):
+            quad = _skew_quad(r[l], r[lp], sa)
+            mm = st[l] * st[lp]
+            for a in range(3):
+                for bcol in range(3):
+                    i, j = 3 * l + a, 3 * lp + bcol
+                    if i > j:
+                        continue
+                    v = 2.0 * quad[(a, bcol)]
+                    if a == bcol:
+                        v = v + mm * sl[a]
+                        if l == lp:
+                            v = v + w2
+                    Qu[i][j] = v
+
+    # c = -2 A^T S b.
+    bl, ba = b[:3], b[3:]
+    c = [None] * N
+    for l in range(4):
+        x, y, z = r[l]
+        c[3 * l + 0] = -(st[l] * sl[0] * bl[0]
+                         + 2.0 * (sa[1] * z * ba[1] - sa[2] * y * ba[2]))
+        c[3 * l + 1] = -(st[l] * sl[1] * bl[1]
+                         + 2.0 * (-sa[0] * z * ba[0] + sa[2] * x * ba[2]))
+        c[3 * l + 2] = -(st[l] * sl[2] * bl[2]
+                         + 2.0 * (sa[0] * y * ba[0] - sa[1] * x * ba[1]))
+
+    # Sparse cone rows + bounds.
+    relax = f32(swing_relax)
+    zero = jnp.zeros_like(mu)
+    Grow = []
+    h = []
+    for l in range(4):
+        for t in range(6):
+            entries = []
+            for k, col in enumerate(_ROW_COLS[t]):
+                if col == 2 and t < 4:
+                    entries.append((2, -mu))
+                else:
+                    entries.append((col, _ROW_SIGN[t][k] * one))
+            Grow.append(entries)
+        hb = [zero, zero, zero, zero, fzmax, -fzmin]
+        for t in range(6):
+            h.append(jnp.where(st[l] > 0.5, hb[t], relax))
+    return Qu, c, Grow, h
+
+
+def _equilibrate_tiles(Qu, c, Grow, h):
+    """Tile-level port of solver/ipm.py::equilibrate (sparsity-preserving)."""
+    f32 = jnp.float32
+    Dv = [lax.rsqrt(jnp.maximum(Qu[j][j], f32(1e-12))) for j in range(N)]
+    Qs = [[None] * N for _ in range(N)]
+    for i in range(N):
+        for j in range(i, N):
+            Qs[i][j] = Qu[i][j] * Dv[i] * Dv[j]
+    cs = [c[i] * Dv[i] for i in range(N)]
+
+    Gs, Er, hs = [], [], []
+    for r in range(M):
+        leg = r // 6
+        scaled = [(k, v * Dv[3 * leg + k]) for k, v in Grow[r]]
+        rn = jnp.abs(scaled[0][1])
+        for _, v in scaled[1:]:
+            rn = jnp.maximum(rn, jnp.abs(v))
+        er = 1.0 / jnp.maximum(rn, f32(1e-12))
+        Gs.append([(k, v * er) for k, v in scaled])
+        Er.append(er)
+        hs.append(h[r] * er)
+
+    cmax = jnp.abs(cs[0])
+    for i in range(1, N):
+        cmax = jnp.maximum(cmax, jnp.abs(cs[i]))
+    nu = 1.0 / jnp.maximum(cmax, f32(1e-12))
+    for i in range(N):
+        cs[i] = cs[i] * nu
+        for j in range(i, N):
+            Qs[i][j] = Qs[i][j] * nu
+    return Qs, cs, Gs, hs, Dv, Er, nu
+
+
+def _sym(Qu, i, j):
+    return Qu[i][j] if i <= j else Qu[j][i]
+
+
+def _col_rows():
+    """col (0..2) -> list of leg-local row indices with a nonzero there."""
+    out = {0: [], 1: [], 2: []}
+    for t in range(6):
+        for col in _ROW_COLS[t]:
+            out[col].append(t)
+    return out
+
+
+_COL_ROWS = _col_rows()
+
+
+def _gx(Gs, xv, r):
+    """(G x)_r via the sparse row."""
+    leg = r // 6
+    acc = None
+    for k, g in Gs[r]:
+        term = g * xv[3 * leg + k]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _gty(Gs, zv, i):
+    """(G^T z)_i via the sparse columns."""
+    leg, a = i // 3, i % 3
+    acc = None
+    for t in _COL_ROWS[a]:
+        r = 6 * leg + t
+        g = dict(Gs[r])[a]
+        term = g * zv[r]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _barrier(Qs, cs, Gs, hs, *, iterations: int, tau: float):
+    """Structured-G port of pallas_ipm._kernel's Mehrotra loop.
+
+    Same initialization, freeze thresholds, best-iterate tracking, and step
+    rules — only the G products use the sparse rows.
+    """
+    f32 = jnp.float32
+    eps = jnp.float32(1.1920929e-07)
+    d_max = 1.0 / eps
+    big = jnp.float32(3.0e38)
+
+    one = jnp.ones_like(cs[0])
+    x = [jnp.zeros_like(cs[0]) for _ in range(N)]
+    s = [jnp.maximum(hs[r], 1.0) for r in range(M)]
+    z = [one / s[r] for r in range(M)]
+
+    obj_scale = cs[0] * 0.0 + 1.0
+    for i in range(N):
+        obj_scale = jnp.maximum(obj_scale, 1.0 + jnp.abs(cs[i]))
+    h_scale = hs[0] * 0.0 + 1.0
+    for r in range(M):
+        h_scale = jnp.maximum(h_scale, 1.0 + jnp.abs(hs[r]))
+    freeze_gap = (100.0 * eps) * obj_scale
+    freeze_pr = (50.0 * eps) * h_scale
+    freeze_dr = (50.0 * eps) * obj_scale
+
+    def chol_solve(Lmat, rhs):
+        y = [None] * N
+        for i in range(N):
+            v = rhs[i]
+            for k in range(i):
+                v = v - Lmat[i][k] * y[k]
+            y[i] = v * Lmat[i][i]  # diag stores 1/L_ii
+        u = [None] * N
+        for i in reversed(range(N)):
+            v = y[i]
+            for k in range(i + 1, N):
+                v = v - Lmat[k][i] * u[k]
+            u[i] = v * Lmat[i][i]
+        return u
+
+    def body(_, carry):
+        x, s, z, best = carry
+
+        Gx = [_gx(Gs, x, r) for r in range(M)]
+        r_prim = [Gx[r] + s[r] - hs[r] for r in range(M)]
+
+        r_dual = [None] * N
+        for i in range(N):
+            v = cs[i]
+            for j in range(N):
+                v = v + _sym(Qs, i, j) * x[j]
+            r_dual[i] = v + _gty(Gs, z, i)
+
+        d = [jnp.minimum(z[r] / s[r], d_max) for r in range(M)]
+
+        # M = Q + G^T D G: the cone term is leg-block-diagonal.
+        Mm = [[None] * N for _ in range(N)]
+        for i in range(N):
+            for j in range(i, N):
+                Mm[i][j] = Qs[i][j]
+        for leg in range(4):
+            for t in range(6):
+                r = 6 * leg + t
+                row = Gs[r]
+                u = [(k, d[r] * g) for k, g in row]
+                for ki, (a, ua) in enumerate(u):
+                    for b, gb in row:
+                        if b < a:
+                            continue
+                        i, j = 3 * leg + a, 3 * leg + b
+                        Mm[i][j] = Mm[i][j] + ua * gb
+        diag_max = Mm[0][0]
+        for i in range(1, N):
+            diag_max = jnp.maximum(diag_max, Mm[i][i])
+        delta = (100.0 * eps) * diag_max
+        for i in range(N):
+            Mm[i][i] = Mm[i][i] + delta
+
+        Lm = [[None] * N for _ in range(N)]
+        for j in range(N):
+            dd = Mm[j][j]
+            for k in range(j):
+                dd = dd - Lm[j][k] * Lm[j][k]
+            dd = jnp.where(dd > 0.0, dd, jnp.float32(jnp.nan))
+            inv = lax.rsqrt(dd)
+            Lm[j][j] = inv
+            for i in range(j + 1, N):
+                v = Mm[j][i]
+                for k in range(j):
+                    v = v - Lm[i][k] * Lm[j][k]
+                Lm[i][j] = v * inv
+
+        def kkt_solve(rhs):
+            u = chol_solve(Lm, rhs)
+            resid = [None] * N
+            for i in range(N):
+                v = rhs[i]
+                for j in range(N):
+                    mij = Mm[i][j] if j >= i else Mm[j][i]
+                    extra = delta if j == i else 0.0
+                    v = v - (mij - extra) * u[j]
+                resid[i] = v
+            corr = chol_solve(Lm, resid)
+            return [u[i] + corr[i] for i in range(N)]
+
+        mu = s[0] * z[0]
+        for r in range(1, M):
+            mu = mu + s[r] * z[r]
+        mu = mu * (1.0 / M)
+
+        def newton(rc):
+            t = [(z[r] * r_prim[r] - rc[r]) / s[r] for r in range(M)]
+            rhs = [-r_dual[i] - _gty(Gs, t, i) for i in range(N)]
+            dx = kkt_solve(rhs)
+            Gdx = [_gx(Gs, dx, r) for r in range(M)]
+            ds = [-r_prim[r] - Gdx[r] for r in range(M)]
+            dz = [-(rc[r] + z[r] * ds[r]) / s[r] for r in range(M)]
+            return dx, ds, dz
+
+        def max_step(v, dv, t_frac):
+            ratio = big
+            for r in range(M):
+                rr = jnp.where(dv[r] < 0.0,
+                               -v[r] / jnp.where(dv[r] < 0.0, dv[r], -1.0),
+                               big)
+                ratio = jnp.minimum(ratio, rr)
+            return jnp.minimum(t_frac * ratio, 1.0)
+
+        rc_aff = [s[r] * z[r] for r in range(M)]
+        dx_a, ds_a, dz_a = newton(rc_aff)
+        a_aff = jnp.minimum(max_step(s, ds_a, 1.0), max_step(z, dz_a, 1.0))
+
+        mu_aff = (s[0] + a_aff * ds_a[0]) * (z[0] + a_aff * dz_a[0])
+        for r in range(1, M):
+            mu_aff = mu_aff + (s[r] + a_aff * ds_a[r]) * (z[r] + a_aff * dz_a[r])
+        mu_aff = mu_aff * (1.0 / M)
+        ratio = mu_aff / jnp.maximum(mu, 1e-30)
+        sigma_mu = ratio * ratio * ratio * mu
+
+        rc = [s[r] * z[r] + ds_a[r] * dz_a[r] - sigma_mu for r in range(M)]
+        dx, ds, dz = newton(rc)
+        alpha = jnp.minimum(max_step(s, ds, tau), max_step(z, dz, tau))
+
+        pr_max = jnp.abs(r_prim[0])
+        dr_max = jnp.abs(r_dual[0])
+        for r in range(1, M):
+            pr_max = jnp.maximum(pr_max, jnp.abs(r_prim[r]))
+        for i in range(1, N):
+            dr_max = jnp.maximum(dr_max, jnp.abs(r_dual[i]))
+        done = (mu < freeze_gap) & (pr_max < freeze_pr) & (dr_max < freeze_dr)
+
+        bx, bs, bz, bmerit = best
+        merit = pr_max / h_scale + dr_max / obj_scale + mu / obj_scale
+        x_finite = jnp.isfinite(x[0])
+        for i in range(1, N):
+            x_finite = x_finite & jnp.isfinite(x[i])
+        improve = (merit < bmerit) & x_finite
+        bx = [jnp.where(improve, x[i], bx[i]) for i in range(N)]
+        bs = [jnp.where(improve, s[r], bs[r]) for r in range(M)]
+        bz = [jnp.where(improve, z[r], bz[r]) for r in range(M)]
+        bmerit = jnp.where(improve, merit, bmerit)
+
+        finite = jnp.isfinite(dx[0])
+        for i in range(1, N):
+            finite = finite & jnp.isfinite(dx[i])
+        for r in range(M):
+            finite = finite & jnp.isfinite(ds[r]) & jnp.isfinite(dz[r])
+
+        a = jnp.where(done | ~finite, 0.0, alpha)
+        tiny = jnp.float32(1.1754944e-38)
+        x_new = [x[i] + a * dx[i] for i in range(N)]
+        s_new = [jnp.maximum(s[r] + a * ds[r], tiny) for r in range(M)]
+        z_new = [jnp.maximum(z[r] + a * dz[r], tiny) for r in range(M)]
+        return x_new, s_new, z_new, (bx, bs, bz, bmerit)
+
+    best0 = (
+        [jnp.zeros_like(cs[0]) for _ in range(N)],
+        [s[r] for r in range(M)],
+        [z[r] for r in range(M)],
+        jnp.full((SUB, LANE), jnp.inf, f32),
+    )
+    x, s, z, best = lax.fori_loop(0, iterations, body, (x, s, z, best0))
+    bx, bs, bz, _ = best
+    return bx, bs, bz
+
+
+def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int):
+    """Structured-G port of pallas_ipm._polish_kernel (same LDL^T machinery,
+    sparse assembly/residuals). Returns (x, s, z, cert) in equilibrated
+    units."""
+    f32 = jnp.float32
+    eps = f32(1.1920929e-07)
+    reg = f32(1e-4)
+    big = f32(3.0e38)
+
+    obj_scale = cs[0] * 0.0 + 1.0
+    for i in range(N):
+        obj_scale = jnp.maximum(obj_scale, 1.0 + jnp.abs(cs[i]))
+    h_scale = hs[0] * 0.0 + 1.0
+    for r in range(M):
+        h_scale = jnp.maximum(h_scale, 1.0 + jnp.abs(hs[r]))
+    zmax = z0[0]
+    for r in range(1, M):
+        zmax = jnp.maximum(zmax, z0[r])
+    cert_dr = (30.0 * eps) * obj_scale
+    feas_tol = jnp.maximum(f32(1e-6), 30.0 * eps) * h_scale
+    z_tol = jnp.maximum(f32(1e-6), 30.0 * eps) * (1.0 + zmax)
+
+    zero = jnp.zeros_like(cs[0])
+
+    def build_K(a):
+        for i in range(N):
+            for j in range(N):
+                Ksc[i * NK + j] = _sym(Qs, i, j)
+        for r in range(M):
+            leg = r // 6
+            vals = dict(Gs[r])
+            for i in range(N):
+                k = i - 3 * leg
+                v = a[r] * vals[k] if k in vals else zero
+                Ksc[i * NK + (N + r)] = v
+                Ksc[(N + r) * NK + i] = v
+        for r in range(M):
+            for rp in range(M):
+                if r == rp:
+                    Ksc[(N + r) * NK + (N + r)] = -(reg * a[r] + (1.0 - a[r]))
+                else:
+                    Ksc[(N + r) * NK + (N + rp)] = zero
+
+    def ldl_factor():
+        def j_body(j, _):
+            dd = lax.fori_loop(
+                0, j, lambda k, acc: acc - Ksc[j * NK + k]
+                * Ksc[j * NK + k] * Dsc[k], Ksc[j * NK + j])
+            dd = jnp.where(jnp.abs(dd) > f32(1e-30), dd, f32(jnp.nan))
+            Dsc[j] = dd
+            dinv = 1.0 / dd
+
+            def i_body(i, _):
+                v = lax.fori_loop(
+                    0, j, lambda k, acc: acc - Ksc[i * NK + k]
+                    * Dsc[k] * Ksc[j * NK + k], Ksc[j * NK + i])
+                Ksc[i * NK + j] = v * dinv
+                return 0
+
+            lax.fori_loop(j + 1, NK, i_body, 0)
+            return 0
+
+        lax.fori_loop(0, NK, j_body, 0)
+
+    def ldl_solve_inplace():
+        def fwd(i, _):
+            v = lax.fori_loop(
+                0, i, lambda k, acc: acc - Ksc[i * NK + k] * usc[k], usc[i])
+            usc[i] = v
+            return 0
+
+        lax.fori_loop(0, NK, fwd, 0)
+
+        def bwd(t, _):
+            i = NK - 1 - t
+            v = usc[i] / Dsc[i]
+            v = lax.fori_loop(
+                i + 1, NK, lambda k, acc: acc - Ksc[k * NK + i] * usc[k], v)
+            usc[i] = v
+            return 0
+
+        lax.fori_loop(0, NK, bwd, 0)
+
+    def true_matvec_residual(a, xp, zp, rhs1, rhs2):
+        r1 = [None] * N
+        for i in range(N):
+            v = rhs1[i]
+            for j in range(N):
+                v = v - _sym(Qs, i, j) * xp[j]
+            leg, col = i // 3, i % 3
+            for t in _COL_ROWS[col]:
+                r = 6 * leg + t
+                g = dict(Gs[r])[col]
+                v = v - a[r] * g * zp[r]
+            r1[i] = v
+        r2 = [None] * M
+        for r in range(M):
+            v = rhs2[r] - (1.0 - a[r]) * zp[r] - a[r] * _gx(Gs, xp, r)
+            r2[r] = v
+        return r1, r2
+
+    def ff_dual_residual(a, xp, zp, rhs1):
+        r1 = [None] * N
+        for i in range(N):
+            terms = [(jnp.float32(-1.0) * _sym(Qs, i, j), xp[j])
+                     for j in range(N)]
+            leg, col = i // 3, i % 3
+            for t in _COL_ROWS[col]:
+                r = 6 * leg + t
+                g = dict(Gs[r])[col]
+                terms.append((-(a[r] * g), zp[r]))
+            terms.append((jnp.ones_like(rhs1[i]), rhs1[i]))
+            r1[i] = _ff_linear(terms)
+        return r1
+
+    def sweep_body(_, carry):
+        a, bx, bz, bs, cert = carry
+        build_K(a)
+        ldl_factor()
+        rhs1 = [-cs[i] for i in range(N)]
+        rhs2 = [a[r] * hs[r] for r in range(M)]
+        for i in range(N):
+            usc[i] = rhs1[i]
+        for r in range(M):
+            usc[N + r] = rhs2[r]
+        ldl_solve_inplace()
+        xp = [usc[i] for i in range(N)]
+        zp = [usc[N + r] for r in range(M)]
+
+        for _ in range(_POLISH_REFINE):
+            r1, r2 = true_matvec_residual(a, xp, zp, rhs1, rhs2)
+            for i in range(N):
+                usc[i] = r1[i]
+            for r in range(M):
+                usc[N + r] = r2[r]
+            ldl_solve_inplace()
+            xp = [xp[i] + usc[i] for i in range(N)]
+            zp = [zp[r] + usc[N + r] for r in range(M)]
+
+        r1 = ff_dual_residual(a, xp, zp, rhs1)
+        dr_max = jnp.abs(r1[0])
+        for i in range(1, N):
+            dr_max = jnp.maximum(dr_max, jnp.abs(r1[i]))
+        slack = [hs[r] - _gx(Gs, xp, r) for r in range(M)]
+        slack_min = slack[0]
+        z_signed = zp[0] * a[0]
+        finite = jnp.isfinite(xp[0])
+        for r in range(1, M):
+            slack_min = jnp.minimum(slack_min, slack[r])
+            z_signed = jnp.minimum(z_signed, zp[r] * a[r])
+        for i in range(N):
+            finite = finite & jnp.isfinite(xp[i])
+        for r in range(M):
+            finite = finite & jnp.isfinite(zp[r])
+        ok = (
+            finite
+            & (slack_min > -feas_tol)
+            & (z_signed > -z_tol)
+            & (dr_max < cert_dr)
+        )
+
+        take = ok & (cert < 0.5)
+        bx = [jnp.where(take, xp[i], bx[i]) for i in range(N)]
+        bz = [jnp.where(take, jnp.maximum(a[r] * zp[r], 0.0), bz[r])
+              for r in range(M)]
+        bs = [jnp.where(take, jnp.maximum(slack[r], 0.0), bs[r])
+              for r in range(M)]
+        cert = jnp.maximum(cert, ok.astype(jnp.float32))
+
+        viol_best = jnp.full((SUB, LANE), -big, f32)
+        viol_idx = jnp.zeros((SUB, LANE), f32)
+        negz_best = jnp.full((SUB, LANE), big, f32)
+        negz_idx = jnp.zeros((SUB, LANE), f32)
+        for r in range(M):
+            viol_r = jnp.where(a[r] > 0.5, -big, -slack[r])
+            upd = viol_r > viol_best
+            viol_best = jnp.where(upd, viol_r, viol_best)
+            viol_idx = jnp.where(upd, f32(r), viol_idx)
+            nz_r = jnp.where(a[r] > 0.5, zp[r], big)
+            updn = nz_r < negz_best
+            negz_best = jnp.where(updn, nz_r, negz_best)
+            negz_idx = jnp.where(updn, f32(r), negz_idx)
+        do_add = viol_best > feas_tol
+        do_drop = (~do_add) & (negz_best < -z_tol)
+        a_new = list(a)
+        for r in range(M):
+            a_new[r] = jnp.where(do_add & (viol_idx == f32(r)), 1.0,
+                                 jnp.where(do_drop & (negz_idx == f32(r)),
+                                           0.0, a[r]))
+        a = [jnp.where(cert > 0.5, a[r], a_new[r]) for r in range(M)]
+        return a, bx, bz, bs, cert
+
+    a0 = [jnp.where(z0[r] > s0[r], f32(1.0), f32(0.0)) for r in range(M)]
+    cert0 = jnp.zeros_like(x0[0])
+    carry = (a0, x0, z0, s0, cert0)
+    carry = lax.fori_loop(0, sweeps, sweep_body, carry)
+    _, bx, bz, bs, cert = carry
+    return bx, bs, bz, cert
+
+
+def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
+                  x_ref, s_ref, z_ref, diag_ref, Ksc, Dsc, usc,
+                  *, s_diag, w_diag, swing_relax, iterations, tau, tol,
+                  polish, polish_sweeps):
+    r = [[r_ref[3 * l + k] for k in range(3)] for l in range(4)]
+    b = [b_ref[i] for i in range(6)]
+    st = [st_ref[l] for l in range(4)]
+    mu = mu_ref[0]
+    fzmin = fzmin_ref[0]
+    fzmax = fzmax_ref[0]
+
+    Qu, c, Grow, h = _assemble(r, b, st, mu, fzmin, fzmax,
+                               s_diag, w_diag, swing_relax)
+    Qs, cs, Gsr, hs, Dv, Er, nu = _equilibrate_tiles(Qu, c, Grow, h)
+
+    x, s, z = _barrier(Qs, cs, Gsr, hs, iterations=iterations, tau=tau)
+    if polish:
+        x, s, z, cert = _polish(Qs, cs, Gsr, hs, x, s, z, Ksc, Dsc, usc,
+                                sweeps=polish_sweeps)
+    else:
+        cert = jnp.zeros_like(x[0])
+
+    # Map back to original units (solve_qp_ipm's inverse scaling).
+    inv_nu = 1.0 / nu
+    xo = [x[i] * Dv[i] for i in range(N)]
+    zo = [z[r] * Er[r] * inv_nu for r in range(M)]
+    so = [s[r] / Er[r] for r in range(M)]
+
+    # Diagnostics in ORIGINAL units (matches the solve_qp_ipm_pallas
+    # wrapper's converged formula).
+    r_dual = [None] * N
+    for i in range(N):
+        v = c[i]
+        for j in range(N):
+            v = v + _sym(Qu, i, j) * xo[j]
+        leg, col = i // 3, i % 3
+        for t in _COL_ROWS[col]:
+            rr = 6 * leg + t
+            g = dict(Grow[rr])[col]
+            v = v + g * zo[rr]
+        r_dual[i] = v
+    gap = so[0] * zo[0]
+    pr = jnp.abs(_gx(Grow, xo, 0) + so[0] - h[0])
+    for rr in range(1, M):
+        gap = gap + so[rr] * zo[rr]
+        pr = jnp.maximum(pr, jnp.abs(_gx(Grow, xo, rr) + so[rr] - h[rr]))
+    gap = jnp.abs(gap) * (1.0 / M)
+    dr = jnp.abs(r_dual[0])
+    for i in range(1, N):
+        dr = jnp.maximum(dr, jnp.abs(r_dual[i]))
+    cmax = jnp.abs(c[0])
+    hmax = jnp.abs(h[0])
+    for i in range(1, N):
+        cmax = jnp.maximum(cmax, jnp.abs(c[i]))
+    for rr in range(1, M):
+        hmax = jnp.maximum(hmax, jnp.abs(h[rr]))
+    scale = 1.0 + cmax
+    tolf = jnp.float32(tol)
+    conv = ((pr < tolf * (1.0 + hmax)) & (dr < tolf * scale)
+            & (gap < tolf * scale)) | (cert > 0.5)
+
+    for i in range(N):
+        x_ref[i] = xo[i]
+    for rr in range(M):
+        s_ref[rr] = so[rr]
+        z_ref[rr] = zo[rr]
+    diag_ref[0] = cert
+    diag_ref[1] = conv.astype(jnp.float32)
+    diag_ref[2] = pr
+    diag_ref[3] = dr
+    diag_ref[4] = gap
+    diag_ref[5] = jnp.zeros_like(cert)
+
+
+def _assembly_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
+                     Q_ref, c_ref, G_ref, h_ref,
+                     *, s_diag, w_diag, swing_relax, equilibrated):
+    """Debug kernel: emit the (optionally equilibrated) dense QP for tests."""
+    r = [[r_ref[3 * l + k] for k in range(3)] for l in range(4)]
+    b = [b_ref[i] for i in range(6)]
+    st = [st_ref[l] for l in range(4)]
+    Qu, c, Grow, h = _assemble(r, b, st, mu_ref[0], fzmin_ref[0],
+                               fzmax_ref[0], s_diag, w_diag, swing_relax)
+    if equilibrated:
+        Qu, c, Grow, h, _, _, _ = _equilibrate_tiles(Qu, c, Grow, h)
+    zero = jnp.zeros_like(c[0])
+    for i in range(N):
+        c_ref[i] = c[i]
+        for j in range(N):
+            Q_ref[i * N + j] = _sym(Qu, i, j)
+    for rr in range(M):
+        h_ref[rr] = h[rr]
+        vals = dict(Grow[rr])
+        leg = rr // 6
+        for j in range(N):
+            k = j - 3 * leg
+            G_ref[rr * N + j] = vals[k] if k in vals else zero
+    return
+
+
+def _vec_spec(k):
+    return pl.BlockSpec((1, k, SUB, LANE), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _prep_inputs(r_masked, b, stance, mu, fz_min, fz_max):
+    B = r_masked.shape[0]
+    assert B % TILE == 0, f"batch {B} must be a multiple of {TILE}"
+    f32 = jnp.float32
+
+    def bcast(v):
+        return jnp.broadcast_to(jnp.asarray(v, f32), (B,))[..., None]
+
+    rp = _pack(r_masked.reshape(B, N).astype(f32), N)
+    bp = _pack(b.astype(f32), 6)
+    stp = _pack(stance.astype(f32), 4)
+    mup = _pack(bcast(mu), 1)
+    fminp = _pack(bcast(fz_min), 1)
+    fmaxp = _pack(bcast(fz_max), 1)
+    return rp, bp, stp, mup, fminp, fmaxp
+
+
+@partial(jax.jit, static_argnames=(
+    "s_diag", "w_diag", "swing_relax", "iterations", "polish",
+    "polish_sweeps", "tol", "tau", "interpret"))
+def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
+                       s_diag, w_diag, swing_relax=SWING_ROW_RELAX,
+                       iterations: int = 20, polish: bool = True,
+                       polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
+                       tol: float = 3e-5, tau: float = 0.995,
+                       interpret: bool = False) -> IPMSolution:
+    """Fused assembly + solve of the batched GRF QP from raw SRB state.
+
+    Args:
+      r_masked: (B, 4, 3) stance-masked world-frame CoM->foot vectors
+        (R @ p_foot, zeroed for swing legs — srb_dynamics' com_ft_masked).
+      b: (B, 6) SRB Newton-Euler rhs [m(xddot_d + g); Iw wdot_d + w x Iw w].
+      stance: (B, 4) bool/float stance mask.
+      mu, fz_min, fz_max: scalars or (B,) per-instance cone parameters.
+      s_diag / w_diag: STATIC objective weights (tuple of 6, float).
+
+    Returns IPMSolution in original problem units; B must be TILE-aligned.
+    """
+    B = r_masked.shape[0]
+    nb = B // TILE
+    rp, bp, stp, mup, fminp, fmaxp = _prep_inputs(
+        r_masked, b, stance, mu, fz_min, fz_max)
+
+    kern = partial(
+        _fused_kernel_entry,
+        s_diag=tuple(float(v) for v in s_diag), w_diag=float(w_diag),
+        swing_relax=float(swing_relax), iterations=iterations, tau=tau,
+        tol=tol, polish=polish, polish_sweeps=polish_sweeps)
+
+    xo, so, zo, diag = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[_vec_spec(N), _vec_spec(6), _vec_spec(4), _vec_spec(1),
+                  _vec_spec(1), _vec_spec(1)],
+        out_specs=[_vec_spec(N), _vec_spec(M), _vec_spec(M),
+                   _vec_spec(_N_DIAG)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, N, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, M, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, M, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _N_DIAG, SUB, LANE), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NK * NK, SUB, LANE), jnp.float32),
+            pltpu.VMEM((NK, SUB, LANE), jnp.float32),
+            pltpu.VMEM((NK, SUB, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rp, bp, stp, mup, fminp, fmaxp)
+
+    x = _unpack(xo)
+    s = _unpack(so)
+    z = _unpack(zo)
+    d = _unpack(diag)
+    return IPMSolution(
+        x=x, z=z, s=s, iterations=jnp.asarray(iterations),
+        gap=d[:, 4], primal_residual=d[:, 2], dual_residual=d[:, 3],
+        converged=d[:, 1] > 0.5,
+    )
+
+
+def _fused_kernel_entry(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
+                        x_ref, s_ref, z_ref, diag_ref, Ksc, Dsc, usc, **kw):
+    _fused_kernel(r_ref[0], b_ref[0], st_ref[0], mu_ref[0], fzmin_ref[0],
+                  fzmax_ref[0], x_ref.at[0], s_ref.at[0], z_ref.at[0],
+                  diag_ref.at[0], Ksc, Dsc, usc, **kw)
+
+
+@partial(jax.jit, static_argnames=(
+    "s_diag", "w_diag", "swing_relax", "equilibrated", "interpret"))
+def assemble_qp_fused_debug(r_masked, b, stance, mu, fz_min, fz_max, *,
+                            s_diag, w_diag, swing_relax=SWING_ROW_RELAX,
+                            equilibrated: bool = False,
+                            interpret: bool = False):
+    """Run ONLY the in-kernel assembly and return dense (Q, c, G, h) —
+    the parity hook for tests against ops/dynamics.build_balance_qp."""
+    B = r_masked.shape[0]
+    nb = B // TILE
+    rp, bp, stp, mup, fminp, fmaxp = _prep_inputs(
+        r_masked, b, stance, mu, fz_min, fz_max)
+
+    def kern(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
+             Q_ref, c_ref, G_ref, h_ref):
+        _assembly_kernel(r_ref[0], b_ref[0], st_ref[0], mu_ref[0],
+                         fzmin_ref[0], fzmax_ref[0],
+                         Q_ref.at[0], c_ref.at[0], G_ref.at[0], h_ref.at[0],
+                         s_diag=tuple(float(v) for v in s_diag),
+                         w_diag=float(w_diag),
+                         swing_relax=float(swing_relax),
+                         equilibrated=equilibrated)
+
+    Qo, co, Go, ho = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[_vec_spec(N), _vec_spec(6), _vec_spec(4), _vec_spec(1),
+                  _vec_spec(1), _vec_spec(1)],
+        out_specs=[_vec_spec(N * N), _vec_spec(N), _vec_spec(M * N),
+                   _vec_spec(M)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, N * N, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, N, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, M * N, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, M, SUB, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rp, bp, stp, mup, fminp, fmaxp)
+    Q = _unpack(Qo).reshape(B, N, N)
+    c = _unpack(co)
+    G = _unpack(Go).reshape(B, M, N)
+    h = _unpack(ho)
+    return Q, c, G, h
+
+
+def srb_rhs(R, w_d, xddot_d, wdot_d, cfg: BalanceConfig,
+            mass=None, inertia_diag=None):
+    """The SRB Newton-Euler right-hand side b (srb_dynamics' b, without
+    materializing A — balance_controller.cpp:237-272)."""
+    dtype = R.dtype
+    m = jnp.asarray(cfg.mass if mass is None else mass, dtype=dtype)
+    Ib = jnp.asarray(
+        cfg.inertia_diag if inertia_diag is None else inertia_diag,
+        dtype=dtype)
+    gvec = jnp.array([0.0, 0.0, cfg.gravity_z_term], dtype=dtype)
+    b_lin = m[..., None] * (xddot_d + gvec)
+    Iw = R * Ib[..., None, :] @ jnp.swapaxes(R, -1, -2)
+    Iw_wd = (Iw @ w_d[..., None])[..., 0]
+    b_ang = (Iw @ wdot_d[..., None])[..., 0] + jnp.cross(w_d, Iw_wd)
+    return jnp.concatenate([b_lin, b_ang], axis=-1)
+
+
+def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
+                           foot_positions, stance_mask,
+                           cfg: BalanceConfig = BalanceConfig(),
+                           mass=None, inertia_diag=None, mu=None,
+                           fz_min=None, fz_max=None,
+                           iterations: int = 20, polish: bool = True,
+                           polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
+                           interpret: bool = False) -> IPMSolution:
+    """End-to-end fused balance-controller solve: the XLA side computes only
+    the tiny per-instance precursors (PD accelerations, masked world foot
+    vectors, the 6-vector rhs); assembly and the solve run in the kernel.
+
+    Drop-in replacement for build_balance_qp + solve_qp_ipm_pallas on
+    TILE-aligned batches (reference hot path balance_controller.cpp:98-235).
+    """
+    xddot_d, wdot_d = pd_accelerations(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
+                                       cfg)
+    com_ft = jnp.einsum("...ij,...lj->...li", R, foot_positions)
+    r_masked = jnp.where(stance_mask[..., None], com_ft, 0.0)
+    b = srb_rhs(R, w_d, xddot_d, wdot_d, cfg, mass=mass,
+                inertia_diag=inertia_diag)
+    return solve_grf_qp_fused(
+        r_masked, b, stance_mask, cfg.mu if mu is None else mu,
+        cfg.fz_min if fz_min is None else fz_min,
+        cfg.fz_max if fz_max is None else fz_max,
+        s_diag=tuple(cfg.s_diag), w_diag=float(cfg.w_diag),
+        iterations=iterations, polish=polish, polish_sweeps=polish_sweeps,
+        interpret=interpret,
+    )
