@@ -90,7 +90,7 @@ def init_commander_carry(batch_shape=(), dtype=jnp.float32) -> CommanderCarry:
 def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    cmd_twist, dt, cfg: ControlConfig,
                    qp_iterations: int = 15, qp_polish: bool = True,
-                   qp_warm_start: bool = False):
+                   qp_warm_start: bool = False, qp_backend: str = "jnp"):
     """One control tick. All arguments broadcast over leading batch dims.
 
     Args:
@@ -99,6 +99,10 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
       carry: carried controller state.
       cmd_twist: (..., 6) commanded body twist (cmd_vel).
       dt: control period (1 / cfg.frequency).
+      qp_backend: "jnp" (any batch, supports warm start) or "fused" (the
+        single-pallas_call assembly+solve kernel, solver/pallas_fused.py —
+        the fast path for large rollout sweeps; pads to its tile multiple,
+        so use it when the batch is ~1024+).
     Returns:
       (CommanderOutput, CommanderCarry).
     """
@@ -180,17 +184,36 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                                  cfg.joint_control)
 
     # 9. Balance controller QP (commander_node.cpp:507-508).
-    qp = dyn.build_balance_qp(
-        com.R, R_d, com.x, com.xdot, com.w, x_d, xdot_d, w_d, feet_body,
-        gait.in_stance, cfg.balance,
-    )
-    # Warm-starting across ticks (qpOASES-hotstart analogue) is opt-in: it
-    # speeds steady stance phases but the carried slacks go stale across
-    # stance-pattern transitions — pair it with enough iterations or
-    # transition-aware resets (future work) before enabling in rollouts.
-    warm = ((carry.qp_x, carry.qp_s, carry.qp_z) if qp_warm_start else None)
-    sol = solve_qp_ipm(qp.Q, qp.c, qp.G, qp.h, iterations=qp_iterations,
-                       polish=qp_polish, tol=3e-5, warm_start=warm)
+    if qp_backend == "fused":
+        from quadruped_control_tpu.solver.pallas_fused import (
+            solve_balance_qp_fused,
+        )
+
+        sol = solve_balance_qp_fused(
+            com.R, R_d, com.x, com.xdot, com.w, x_d, xdot_d, w_d, feet_body,
+            gait.in_stance, cfg.balance, iterations=qp_iterations,
+            polish=qp_polish,
+        )
+    else:
+        qp = dyn.build_balance_qp(
+            com.R, R_d, com.x, com.xdot, com.w, x_d, xdot_d, w_d, feet_body,
+            gait.in_stance, cfg.balance,
+        )
+        # Warm-starting across ticks (qpOASES-hotstart analogue) is opt-in.
+        # Transition-aware reset: a leg that flipped stance<->swing since
+        # the previous tick has its 6 cone rows' carried (s, z) on the wrong
+        # side of the new bounds; those rows cold-start while the unchanged
+        # rows keep the hotstart economics.
+        warm = reset = None
+        if qp_warm_start:
+            warm = (carry.qp_x, carry.qp_s, carry.qp_z)
+            stance_changed = (
+                gait.in_stance != carry.planner.prev_in_stance
+            ) | ~carry.planner.initialized[..., None]
+            reset = jnp.repeat(stance_changed, 6, axis=-1)
+        sol = solve_qp_ipm(qp.Q, qp.c, qp.G, qp.h, iterations=qp_iterations,
+                           polish=qp_polish, tol=3e-5, warm_start=warm,
+                           warm_reset_mask=reset)
     forces_body = dyn.forces_to_body_frame(sol.x, com.R, gait.in_stance)
 
     # 10. Stance torques tau = J^T f; merge by stance mask; clamp

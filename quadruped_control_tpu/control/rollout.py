@@ -48,10 +48,11 @@ class RolloutResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("steps", "cfg", "qp_iterations",
-                                   "qp_polish", "record"))
+                                   "qp_polish", "record", "qp_backend"))
 def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             cfg: ControlConfig, qp_iterations: int = 12,
-            qp_polish: bool = False, record: bool = True) -> RolloutResult:
+            qp_polish: bool = False, record: bool = True,
+            qp_backend: str = "jnp") -> RolloutResult:
     """Run ``steps`` control ticks of the closed loop.
 
     Args:
@@ -75,6 +76,7 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
         out, carry_next = commander_step(
             plant_s.com, plant_s.joints, carry_s, cmd_twist, dt, cfg,
             qp_iterations=qp_iterations, qp_polish=qp_polish,
+            qp_backend=qp_backend,
         )
         plant_next = plant_step(
             plant_s, out.forces_world, out.gait.in_stance,

@@ -399,13 +399,17 @@ def solve_mpc_qp_structured(data: MPCStructuredData, iterations: int = 30,
         jnp.einsum("...tji,...tj->...ti", data.G, z_orig)
     r_prim = jnp.einsum("...tij,...tj->...ti", data.G, F) + s_orig - data.h
     gap = jnp.abs(jnp.sum(s_orig * z_orig, axis=(-2, -1))) / MN
-    scale_o = 1.0 + jnp.max(jnp.abs(c_orig), axis=(-2, -1))
     pr = jnp.max(jnp.abs(r_prim), axis=(-2, -1))
     dr = jnp.max(jnp.abs(r_dual), axis=(-2, -1))
+    # The converged flag is evaluated in the SCALED units the solver actually
+    # controls (r_dual_s = nu sigma r_dual, gap_s = nu gap, r_prim_s =
+    # r_prim): in original units the f32 complementarity floor is inflated by
+    # the O(100 N) slack magnitudes and the flag under-reports badly.
+    nu_s = nu[..., 0, 0]
     converged = (
         (pr < tol * (1.0 + jnp.max(jnp.abs(data.h), axis=(-2, -1))))
-        & (dr < tol * scale_o)
-        & (gap < tol * scale_o)
+        & (dr * nu_s * sigma < tol * obj_scale)
+        & (gap * nu_s < tol * obj_scale)
     )
 
     flat = batch + (N * NU,)

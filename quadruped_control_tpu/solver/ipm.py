@@ -196,7 +196,7 @@ def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
                  polish: bool = True, scale: bool = True,
                  d_max: float | None = None, reg_factor: float = 100.0,
                  unrolled_linalg: bool = False,
-                 warm_start=None) -> IPMSolution:
+                 warm_start=None, warm_reset_mask=None) -> IPMSolution:
     """Solve a batch of inequality-constrained QPs.
 
     Args:
@@ -220,6 +220,12 @@ def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
         control/MPC streams: slacks and duals are pushed back to the
         interior (Mehrotra shift) so a nearby previous solution converges
         in a fraction of the cold-start schedule.
+      warm_reset_mask: optional (..., m) bool — rows whose warm slack/dual
+        are STALE and must cold-start (transition-aware reset). The gait
+        use: when a leg flips stance<->swing its 6 cone rows jump between
+        h = 0-bounds and the relaxed swing bound, so the carried (s, z) sit
+        on the wrong side of the new boundary and stall the barrier; pass
+        repeat(stance_changed, 6) to re-center exactly those rows.
 
     Returns:
       IPMSolution with leading batch dims preserved; diagnostics are
@@ -257,6 +263,10 @@ def solve_qp_ipm(Q, c, G, h, iterations: int = 25, tol: float = 1e-7,
         x0 = xw
         s0 = jnp.maximum(sw, interior)
         z0 = jnp.maximum(zw, interior)
+        if warm_reset_mask is not None:
+            s_cold = jnp.maximum(h, 1.0)
+            s0 = jnp.where(warm_reset_mask, s_cold, s0)
+            z0 = jnp.where(warm_reset_mask, 1.0 / s_cold, z0)
 
     # Freeze thresholds: once an instance reaches machine-precision optimality
     # further Newton steps only amplify roundoff (d = z/s overflows and the

@@ -76,6 +76,22 @@ _ROW_SIGN = ((1.0, None), (1.0, None), (-1.0, None), (-1.0, None),
 _N_DIAG = 6  # cert, conv, pr, dr, gap, reserved
 
 
+def _pack_rows(a, last_dim, rows):
+    """(B, k) -> (nb, k, rows, 128). Taller tiles put more independent
+    instances behind every VPU instruction: the kernel is latency-bound on
+    serial elementwise chains, so rows=16/32 hides VPU latency at the cost
+    of rows/8 x the VMEM footprint."""
+    B = a.shape[0]
+    nb = B // (rows * LANE)
+    return a.reshape(nb, rows, LANE, last_dim).transpose(0, 3, 1, 2)
+
+
+def _unpack_rows(a):
+    """(nb, k, rows, 128) -> (B, k)."""
+    nb, k = a.shape[0], a.shape[1]
+    return a.transpose(0, 2, 3, 1).reshape(nb * a.shape[2] * a.shape[3], k)
+
+
 def _skew_quad(rl, rlp, d):
     """3x3 block skew(rl)^T diag(d) skew(rlp) as a dict {(a,b): tile}."""
     x, y, z = rl
@@ -415,17 +431,32 @@ def _barrier(Qs, cs, Gs, hs, *, iterations: int, tau: float):
         [jnp.zeros_like(cs[0]) for _ in range(N)],
         [s[r] for r in range(M)],
         [z[r] for r in range(M)],
-        jnp.full((SUB, LANE), jnp.inf, f32),
+        jnp.full_like(cs[0], jnp.inf),
     )
     x, s, z, best = lax.fori_loop(0, iterations, body, (x, s, z, best0))
     bx, bs, bz, _ = best
     return bx, bs, bz
 
 
-def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int):
-    """Structured-G port of pallas_ipm._polish_kernel (same LDL^T machinery,
-    sparse assembly/residuals). Returns (x, s, z, cert) in equilibrated
-    units."""
+def _tri(i, j):
+    """Packed lower-triangle index (works on Python ints and tracers)."""
+    return i * (i + 1) // 2 + j
+
+
+_NK_TRI = NK * (NK + 1) // 2  # 666 tiles: half the dense NK^2 scratch
+
+
+def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int,
+            refine: int):
+    """Structured-G port of pallas_ipm._polish_kernel. Returns
+    (x, s, z, cert) in equilibrated units.
+
+    VMEM economy: the quasidefinite KKT is stored as a PACKED LOWER TRIANGLE
+    (666 tiles vs 1296 dense) and the LDL^T factor overwrites it IN PLACE —
+    legal because the iterative-refinement residuals are rebuilt from the
+    persistent Qs/Gs, never from K. Halving the scratch is what lets the
+    polish run at rows=16 tile height (the kernel is VPU-latency-bound;
+    taller tiles are the main throughput lever)."""
     f32 = jnp.float32
     eps = f32(1.1920929e-07)
     reg = f32(1e-4)
@@ -447,38 +478,39 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int):
     zero = jnp.zeros_like(cs[0])
 
     def build_K(a):
+        """Write only the lower triangle (row-major packed)."""
         for i in range(N):
-            for j in range(N):
-                Ksc[i * NK + j] = _sym(Qs, i, j)
+            for j in range(i + 1):
+                Ksc[_tri(i, j)] = _sym(Qs, i, j)
         for r in range(M):
             leg = r // 6
             vals = dict(Gs[r])
+            row = N + r
             for i in range(N):
                 k = i - 3 * leg
-                v = a[r] * vals[k] if k in vals else zero
-                Ksc[i * NK + (N + r)] = v
-                Ksc[(N + r) * NK + i] = v
-        for r in range(M):
-            for rp in range(M):
-                if r == rp:
-                    Ksc[(N + r) * NK + (N + r)] = -(reg * a[r] + (1.0 - a[r]))
-                else:
-                    Ksc[(N + r) * NK + (N + rp)] = zero
+                Ksc[_tri(row, i)] = a[r] * vals[k] if k in vals else zero
+            for rp in range(r):
+                Ksc[_tri(row, N + rp)] = zero
+            Ksc[_tri(row, row)] = -(reg * a[r] + (1.0 - a[r]))
 
     def ldl_factor():
+        """In-place packed LDL^T: each K[i,j] is read exactly once (at its
+        own elimination step), so L can overwrite K with no second copy."""
         def j_body(j, _):
+            bj = _tri(j, 0)
             dd = lax.fori_loop(
-                0, j, lambda k, acc: acc - Ksc[j * NK + k]
-                * Ksc[j * NK + k] * Dsc[k], Ksc[j * NK + j])
+                0, j, lambda k, acc: acc - Ksc[bj + k]
+                * Ksc[bj + k] * Dsc[k], Ksc[bj + j])
             dd = jnp.where(jnp.abs(dd) > f32(1e-30), dd, f32(jnp.nan))
             Dsc[j] = dd
             dinv = 1.0 / dd
 
             def i_body(i, _):
+                bi = _tri(i, 0)
                 v = lax.fori_loop(
-                    0, j, lambda k, acc: acc - Ksc[i * NK + k]
-                    * Dsc[k] * Ksc[j * NK + k], Ksc[j * NK + i])
-                Ksc[i * NK + j] = v * dinv
+                    0, j, lambda k, acc: acc - Ksc[bi + k]
+                    * Dsc[k] * Ksc[bj + k], Ksc[bi + j])
+                Ksc[bi + j] = v * dinv
                 return 0
 
             lax.fori_loop(j + 1, NK, i_body, 0)
@@ -488,8 +520,9 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int):
 
     def ldl_solve_inplace():
         def fwd(i, _):
+            bi = _tri(i, 0)
             v = lax.fori_loop(
-                0, i, lambda k, acc: acc - Ksc[i * NK + k] * usc[k], usc[i])
+                0, i, lambda k, acc: acc - Ksc[bi + k] * usc[k], usc[i])
             usc[i] = v
             return 0
 
@@ -499,7 +532,7 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int):
             i = NK - 1 - t
             v = usc[i] / Dsc[i]
             v = lax.fori_loop(
-                i + 1, NK, lambda k, acc: acc - Ksc[k * NK + i] * usc[k], v)
+                i + 1, NK, lambda k, acc: acc - Ksc[_tri(k, i)] * usc[k], v)
             usc[i] = v
             return 0
 
@@ -551,7 +584,7 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int):
         xp = [usc[i] for i in range(N)]
         zp = [usc[N + r] for r in range(M)]
 
-        for _ in range(_POLISH_REFINE):
+        for _ in range(refine):
             r1, r2 = true_matvec_residual(a, xp, zp, rhs1, rhs2)
             for i in range(N):
                 usc[i] = r1[i]
@@ -591,10 +624,10 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int):
               for r in range(M)]
         cert = jnp.maximum(cert, ok.astype(jnp.float32))
 
-        viol_best = jnp.full((SUB, LANE), -big, f32)
-        viol_idx = jnp.zeros((SUB, LANE), f32)
-        negz_best = jnp.full((SUB, LANE), big, f32)
-        negz_idx = jnp.zeros((SUB, LANE), f32)
+        viol_best = jnp.full_like(cs[0], -big)
+        viol_idx = jnp.zeros_like(cs[0])
+        negz_best = jnp.full_like(cs[0], big)
+        negz_idx = jnp.zeros_like(cs[0])
         for r in range(M):
             viol_r = jnp.where(a[r] > 0.5, -big, -slack[r])
             upd = viol_r > viol_best
@@ -625,7 +658,7 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int):
 def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                   x_ref, s_ref, z_ref, diag_ref, Ksc, Dsc, usc,
                   *, s_diag, w_diag, swing_relax, iterations, tau, tol,
-                  polish, polish_sweeps):
+                  polish, polish_sweeps, polish_refine):
     r = [[r_ref[3 * l + k] for k in range(3)] for l in range(4)]
     b = [b_ref[i] for i in range(6)]
     st = [st_ref[l] for l in range(4)]
@@ -640,7 +673,7 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
     x, s, z = _barrier(Qs, cs, Gsr, hs, iterations=iterations, tau=tau)
     if polish:
         x, s, z, cert = _polish(Qs, cs, Gsr, hs, x, s, z, Ksc, Dsc, usc,
-                                sweeps=polish_sweeps)
+                                sweeps=polish_sweeps, refine=polish_refine)
     else:
         cert = jnp.zeros_like(x[0])
 
@@ -683,6 +716,38 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
     conv = ((pr < tolf * (1.0 + hmax)) & (dr < tolf * scale)
             & (gap < tolf * scale)) | (cert > 0.5)
 
+    # Scaled-units criterion (the residuals the barrier actually controls):
+    # in original units the f32 complementarity floor is inflated by the
+    # 1e4 swing-row slacks — the barrier-only flag under-reported at ~0.33
+    # while solution quality was far better. Equilibrated scales are O(1).
+    pr_s = jnp.abs(_gx(Gsr, x, 0) + s[0] - hs[0])
+    gap_s = s[0] * z[0]
+    for rr in range(1, M):
+        pr_s = jnp.maximum(pr_s, jnp.abs(_gx(Gsr, x, rr) + s[rr] - hs[rr]))
+        gap_s = gap_s + s[rr] * z[rr]
+    gap_s = jnp.abs(gap_s) * (1.0 / M)
+    dr_s = None
+    for i in range(N):
+        v = cs[i]
+        for j in range(N):
+            v = v + _sym(Qs, i, j) * x[j]
+        leg, col = i // 3, i % 3
+        for t in _COL_ROWS[col]:
+            rr = 6 * leg + t
+            g = dict(Gsr[rr])[col]
+            v = v + g * z[rr]
+        va = jnp.abs(v)
+        dr_s = va if dr_s is None else jnp.maximum(dr_s, va)
+    cs_max = jnp.abs(cs[0])
+    hs_max = jnp.abs(hs[0])
+    for i in range(1, N):
+        cs_max = jnp.maximum(cs_max, jnp.abs(cs[i]))
+    for rr in range(1, M):
+        hs_max = jnp.maximum(hs_max, jnp.abs(hs[rr]))
+    scale_s = 1.0 + cs_max
+    conv = conv | ((pr_s < tolf * (1.0 + hs_max)) & (dr_s < tolf * scale_s)
+                   & (gap_s < tolf * scale_s))
+
     for i in range(N):
         x_ref[i] = xo[i]
     for rr in range(M):
@@ -722,36 +787,39 @@ def _assembly_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
     return
 
 
-def _vec_spec(k):
-    return pl.BlockSpec((1, k, SUB, LANE), lambda i: (i, 0, 0, 0),
+def _vec_spec(k, rows=SUB):
+    return pl.BlockSpec((1, k, rows, LANE), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _prep_inputs(r_masked, b, stance, mu, fz_min, fz_max):
+def _prep_inputs(r_masked, b, stance, mu, fz_min, fz_max, rows=SUB):
     B = r_masked.shape[0]
-    assert B % TILE == 0, f"batch {B} must be a multiple of {TILE}"
+    tile = rows * LANE
+    assert B % tile == 0, f"batch {B} must be a multiple of {tile}"
     f32 = jnp.float32
 
     def bcast(v):
         return jnp.broadcast_to(jnp.asarray(v, f32), (B,))[..., None]
 
-    rp = _pack(r_masked.reshape(B, N).astype(f32), N)
-    bp = _pack(b.astype(f32), 6)
-    stp = _pack(stance.astype(f32), 4)
-    mup = _pack(bcast(mu), 1)
-    fminp = _pack(bcast(fz_min), 1)
-    fmaxp = _pack(bcast(fz_max), 1)
+    rp = _pack_rows(r_masked.reshape(B, N).astype(f32), N, rows)
+    bp = _pack_rows(b.astype(f32), 6, rows)
+    stp = _pack_rows(stance.astype(f32), 4, rows)
+    mup = _pack_rows(bcast(mu), 1, rows)
+    fminp = _pack_rows(bcast(fz_min), 1, rows)
+    fmaxp = _pack_rows(bcast(fz_max), 1, rows)
     return rp, bp, stp, mup, fminp, fmaxp
 
 
 @partial(jax.jit, static_argnames=(
     "s_diag", "w_diag", "swing_relax", "iterations", "polish",
-    "polish_sweeps", "tol", "tau", "interpret"))
+    "polish_sweeps", "polish_refine", "tol", "tau", "rows", "interpret"))
 def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
                        s_diag, w_diag, swing_relax=SWING_ROW_RELAX,
                        iterations: int = 20, polish: bool = True,
                        polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
+                       polish_refine: int = _POLISH_REFINE,
                        tol: float = 3e-5, tau: float = 0.995,
+                       rows: int = SUB,
                        interpret: bool = False) -> IPMSolution:
     """Fused assembly + solve of the batched GRF QP from raw SRB state.
 
@@ -762,45 +830,56 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
       stance: (B, 4) bool/float stance mask.
       mu, fz_min, fz_max: scalars or (B,) per-instance cone parameters.
       s_diag / w_diag: STATIC objective weights (tuple of 6, float).
+      rows: sublane height of the per-value tiles (8/16/32); taller tiles
+        hide VPU latency (more independent instances per instruction) but
+        multiply VMEM: the polish scratch is 5.3 MB at rows=8.
 
-    Returns IPMSolution in original problem units; B must be TILE-aligned.
+    Returns IPMSolution in original problem units; B must be a multiple of
+    rows * 128.
     """
     B = r_masked.shape[0]
-    nb = B // TILE
+    nb = B // (rows * LANE)
     rp, bp, stp, mup, fminp, fmaxp = _prep_inputs(
-        r_masked, b, stance, mu, fz_min, fz_max)
+        r_masked, b, stance, mu, fz_min, fz_max, rows)
 
     kern = partial(
         _fused_kernel_entry,
         s_diag=tuple(float(v) for v in s_diag), w_diag=float(w_diag),
         swing_relax=float(swing_relax), iterations=iterations, tau=tau,
-        tol=tol, polish=polish, polish_sweeps=polish_sweeps)
+        tol=tol, polish=polish, polish_sweeps=polish_sweeps,
+        polish_refine=polish_refine)
 
     xo, so, zo, diag = pl.pallas_call(
         kern,
         grid=(nb,),
-        in_specs=[_vec_spec(N), _vec_spec(6), _vec_spec(4), _vec_spec(1),
-                  _vec_spec(1), _vec_spec(1)],
-        out_specs=[_vec_spec(N), _vec_spec(M), _vec_spec(M),
-                   _vec_spec(_N_DIAG)],
+        in_specs=[_vec_spec(N, rows), _vec_spec(6, rows), _vec_spec(4, rows),
+                  _vec_spec(1, rows), _vec_spec(1, rows), _vec_spec(1, rows)],
+        out_specs=[_vec_spec(N, rows), _vec_spec(M, rows), _vec_spec(M, rows),
+                   _vec_spec(_N_DIAG, rows)],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, N, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, M, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, M, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, _N_DIAG, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, N, rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, M, rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, M, rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _N_DIAG, rows, LANE), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((NK * NK, SUB, LANE), jnp.float32),
-            pltpu.VMEM((NK, SUB, LANE), jnp.float32),
-            pltpu.VMEM((NK, SUB, LANE), jnp.float32),
-        ],
+        # The packed-triangular LDL^T scratch is only needed when polishing
+        # (the VMEM budget item: 666 tiles = 2.7 MB at rows=8, 5.5 MB at
+        # rows=16).
+        scratch_shapes=(
+            [
+                pltpu.VMEM((_NK_TRI, rows, LANE), jnp.float32),
+                pltpu.VMEM((NK, rows, LANE), jnp.float32),
+                pltpu.VMEM((NK, rows, LANE), jnp.float32),
+            ]
+            if polish else []
+        ),
         interpret=interpret,
     )(rp, bp, stp, mup, fminp, fmaxp)
 
-    x = _unpack(xo)
-    s = _unpack(so)
-    z = _unpack(zo)
-    d = _unpack(diag)
+    x = _unpack_rows(xo)
+    s = _unpack_rows(so)
+    z = _unpack_rows(zo)
+    d = _unpack_rows(diag)
     return IPMSolution(
         x=x, z=z, s=s, iterations=jnp.asarray(iterations),
         gap=d[:, 4], primal_residual=d[:, 2], dual_residual=d[:, 3],
@@ -809,7 +888,8 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
 
 
 def _fused_kernel_entry(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
-                        x_ref, s_ref, z_ref, diag_ref, Ksc, Dsc, usc, **kw):
+                        x_ref, s_ref, z_ref, diag_ref, *scratch, **kw):
+    Ksc, Dsc, usc = scratch if scratch else (None, None, None)
     _fused_kernel(r_ref[0], b_ref[0], st_ref[0], mu_ref[0], fzmin_ref[0],
                   fzmax_ref[0], x_ref.at[0], s_ref.at[0], z_ref.at[0],
                   diag_ref.at[0], Ksc, Dsc, usc, **kw)
@@ -860,6 +940,78 @@ def assemble_qp_fused_debug(r_masked, b, stance, mu, fz_min, fz_max, *,
     return Q, c, G, h
 
 
+@partial(jax.jit, static_argnames=(
+    "s_diag", "w_diag", "swing_relax", "iterations", "polish_sweeps",
+    "polish_refine", "tail_divisor", "tail_iterations", "tail_sweeps",
+    "tol", "tau", "rows", "interpret"))
+def solve_grf_qp_fused_two_phase(
+        r_masked, b, stance, mu, fz_min, fz_max, *, s_diag, w_diag,
+        swing_relax=SWING_ROW_RELAX, iterations: int = 20,
+        polish_sweeps: int = 2, polish_refine: int = _POLISH_REFINE,
+        tail_divisor: int = 8, tail_iterations: int = 28,
+        tail_sweeps: int = _POLISH_SWEEPS_PALLAS,
+        tol: float = 3e-5, tau: float = 0.995, rows: int = SUB,
+        interpret: bool = False) -> IPMSolution:
+    """Two-phase fused solve: cheap schedule for everyone, long schedule for
+    the hard tail.
+
+    Phase 1 runs the fused kernel with a SHORT polish (most instances certify
+    in 1-2 sweeps). The uncertified tail — typically ~1-5% — is compacted to
+    the front of a B/tail_divisor re-solve batch by an argsort on the
+    converged flag (pure on-device data movement), run through the kernel
+    again with a LONG schedule, and scattered back. Average cost approaches
+    the phase-1 schedule while the tail gets a longer schedule than the
+    single-phase default — throughput AND convergence both improve.
+
+    Requires B % (tail_divisor * rows * 128) == 0.
+    """
+    B = r_masked.shape[0]
+    Bt = B // tail_divisor
+    assert Bt % (rows * LANE) == 0, (B, tail_divisor, rows)
+
+    sol1 = solve_grf_qp_fused(
+        r_masked, b, stance, mu, fz_min, fz_max, s_diag=s_diag,
+        w_diag=w_diag, swing_relax=swing_relax, iterations=iterations,
+        polish=True, polish_sweeps=polish_sweeps,
+        polish_refine=polish_refine, tol=tol, tau=tau, rows=rows,
+        interpret=interpret)
+
+    # Unconverged instances first (stable order); take the first Bt slots.
+    order = jnp.argsort(sol1.converged.astype(jnp.int32), stable=True)
+    idx = order[:Bt]
+
+    def take(a):
+        return a[idx]
+
+    mu_b = jnp.broadcast_to(jnp.asarray(mu, jnp.float32), (B,))
+    fmin_b = jnp.broadcast_to(jnp.asarray(fz_min, jnp.float32), (B,))
+    fmax_b = jnp.broadcast_to(jnp.asarray(fz_max, jnp.float32), (B,))
+    sol2 = solve_grf_qp_fused(
+        take(r_masked), take(b), take(stance), take(mu_b), take(fmin_b),
+        take(fmax_b), s_diag=s_diag, w_diag=w_diag,
+        swing_relax=swing_relax, iterations=tail_iterations, polish=True,
+        polish_sweeps=tail_sweeps, polish_refine=polish_refine, tol=tol,
+        tau=tau, rows=rows, interpret=interpret)
+
+    # Scatter the re-solve back wherever it improved the flag.
+    better = sol2.converged & ~sol1.converged[idx]
+
+    def merge(a1, a2):
+        upd = better.reshape(better.shape + (1,) * (a2.ndim - 1))
+        return a1.at[idx].set(jnp.where(upd, a2, a1[idx]))
+
+    return IPMSolution(
+        x=merge(sol1.x, sol2.x),
+        z=merge(sol1.z, sol2.z),
+        s=merge(sol1.s, sol2.s),
+        iterations=jnp.asarray(iterations + tail_iterations),
+        gap=merge(sol1.gap, sol2.gap),
+        primal_residual=merge(sol1.primal_residual, sol2.primal_residual),
+        dual_residual=merge(sol1.dual_residual, sol2.dual_residual),
+        converged=merge(sol1.converged, sol2.converged),
+    )
+
+
 def srb_rhs(R, w_d, xddot_d, wdot_d, cfg: BalanceConfig,
             mass=None, inertia_diag=None):
     """The SRB Newton-Euler right-hand side b (srb_dynamics' b, without
@@ -884,13 +1036,21 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                            fz_min=None, fz_max=None,
                            iterations: int = 20, polish: bool = True,
                            polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
+                           polish_refine: int = _POLISH_REFINE,
+                           rows: int = SUB, two_phase: bool = False,
+                           tail_divisor: int = 8, tail_iterations: int = 28,
+                           tail_sweeps: int = _POLISH_SWEEPS_PALLAS,
                            interpret: bool = False) -> IPMSolution:
     """End-to-end fused balance-controller solve: the XLA side computes only
     the tiny per-instance precursors (PD accelerations, masked world foot
     vectors, the 6-vector rhs); assembly and the solve run in the kernel.
 
-    Drop-in replacement for build_balance_qp + solve_qp_ipm_pallas on
-    TILE-aligned batches (reference hot path balance_controller.cpp:98-235).
+    Drop-in replacement for build_balance_qp + solve_qp_ipm_pallas
+    (reference hot path balance_controller.cpp:98-235). Any batch shape is
+    accepted: inputs are flattened and padded to the rows*128 tile multiple
+    (pad instances replicate instance 0 and are stripped from the result),
+    so the commander/rollout path can route large sweeps through the kernel
+    without aligning its own batch sizes.
     """
     xddot_d, wdot_d = pd_accelerations(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                                        cfg)
@@ -898,11 +1058,59 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
     r_masked = jnp.where(stance_mask[..., None], com_ft, 0.0)
     b = srb_rhs(R, w_d, xddot_d, wdot_d, cfg, mass=mass,
                 inertia_diag=inertia_diag)
-    return solve_grf_qp_fused(
-        r_masked, b, stance_mask, cfg.mu if mu is None else mu,
-        cfg.fz_min if fz_min is None else fz_min,
-        cfg.fz_max if fz_max is None else fz_max,
+
+    batch_shape = jnp.broadcast_shapes(
+        r_masked.shape[:-2], b.shape[:-1], stance_mask.shape[:-1])
+    B = 1
+    for d in batch_shape:
+        B *= int(d)
+    # Two-phase needs the tail slice (B / tail_divisor) tile-aligned too.
+    tile = rows * LANE * (tail_divisor if two_phase else 1)
+    Bp = ((B + tile - 1) // tile) * tile
+
+    def flat(a, tail):
+        a = jnp.broadcast_to(a, batch_shape + tail).reshape((B,) + tail)
+        if Bp > B:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (Bp - B,) + tail)], axis=0)
+        return a
+
+    def flat_param(v):
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 0:
+            return v
+        return flat(v, ())
+
+    args = (
+        flat(r_masked, (4, 3)), flat(b, (6,)),
+        flat(stance_mask.astype(jnp.float32), (4,)),
+        flat_param(cfg.mu if mu is None else mu),
+        flat_param(cfg.fz_min if fz_min is None else fz_min),
+        flat_param(cfg.fz_max if fz_max is None else fz_max),
+    )
+    common = dict(
         s_diag=tuple(cfg.s_diag), w_diag=float(cfg.w_diag),
-        iterations=iterations, polish=polish, polish_sweeps=polish_sweeps,
-        interpret=interpret,
+        polish_sweeps=polish_sweeps, polish_refine=polish_refine,
+        rows=rows, interpret=interpret,
+    )
+    if two_phase:
+        sol = solve_grf_qp_fused_two_phase(
+            *args, iterations=iterations, tail_divisor=tail_divisor,
+            tail_iterations=tail_iterations, tail_sweeps=tail_sweeps,
+            **common)
+    else:
+        sol = solve_grf_qp_fused(
+            *args, iterations=iterations, polish=polish, **common)
+    if Bp == B and len(batch_shape) == 1:
+        return sol
+
+    def unflat(a, tail):
+        return a[:B].reshape(batch_shape + tail)
+
+    return IPMSolution(
+        x=unflat(sol.x, (N,)), z=unflat(sol.z, (M,)), s=unflat(sol.s, (M,)),
+        iterations=sol.iterations, gap=unflat(sol.gap, ()),
+        primal_residual=unflat(sol.primal_residual, ()),
+        dual_residual=unflat(sol.dual_residual, ()),
+        converged=unflat(sol.converged, ()),
     )

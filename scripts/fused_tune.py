@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Tune the fused kernel: sweep tile height (rows), barrier iterations, and
+polish sweeps; report marginal ms/call, converged fraction, and conv-weighted
+throughput. Run on the real TPU."""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from quadruped_control_tpu.config import mit_cheetah_config
+from quadruped_control_tpu.solver.pallas_fused import solve_balance_qp_fused
+from quadruped_control_tpu.utils.scenarios import grf_scenarios
+
+BATCH = 16384
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    cfg = mit_cheetah_config()
+    log(f"device: {jax.devices()[0]}")
+
+    configs = [
+        # (rows, iterations, sweeps, refine, polish, two_phase)
+        (16, 20, 8, 4, True, False),   # current best single-phase
+        (16, 20, 6, 4, True, False),
+        (16, 20, 5, 4, True, False),
+        (16, 20, 4, 4, True, False),
+        (24, 20, 8, 4, True, False),   # 8.2 MB scratch — may fit
+        (16, 20, 2, 4, True, True),    # two-phase: cheap + hard-tail resolve
+        (16, 20, 1, 4, True, True),
+        (16, 16, 2, 4, True, True),
+    ]
+
+    for rows, its, sweeps, refine, polish, two in configs:
+        name = (f"rows={rows} it={its} sw={sweeps} rf={refine} "
+                f"polish={polish} two={two}")
+        try:
+            @jax.jit
+            def pipeline(key, rows=rows, its=its, sweeps=sweeps,
+                         refine=refine, polish=polish, two=two):
+                s = grf_scenarios(key, BATCH, cfg, dtype=jnp.float32)
+                sol = solve_balance_qp_fused(
+                    s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d,
+                    s.feet, s.stance, cfg.balance, iterations=its,
+                    polish=polish, polish_sweeps=max(sweeps, 1),
+                    polish_refine=max(refine, 1), rows=rows, two_phase=two)
+                return sol.converged
+
+            t0 = time.time()
+            conv = jax.block_until_ready(pipeline(jax.random.key(0)))
+            tc = time.time() - t0
+            cf = float(jnp.mean(conv.astype(jnp.float32)))
+
+            def timed(reps, key):
+                keys = jax.random.split(key, reps)
+                jax.block_until_ready(pipeline(keys[0]))
+                t0 = time.time()
+                out = None
+                for k in keys:
+                    out = pipeline(k)
+                jax.block_until_ready(out)
+                return (time.time() - t0) / reps
+
+            t4 = timed(4, jax.random.key(1))
+            t12 = timed(12, jax.random.key(2))
+            marginal = (12 * t12 - 4 * t4) / 8
+            qps = BATCH / marginal * cf
+            log(f"{name}: compile {tc:.0f}s conv {cf:.4f} | "
+                f"{t4*1e3:.1f}/{t12*1e3:.1f} ms @4/12, marginal "
+                f"{marginal*1e3:.1f} ms -> {qps:,.0f} conv-QPs/s")
+        except Exception as e:
+            log(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}")
+
+
+if __name__ == "__main__":
+    main()

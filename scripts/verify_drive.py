@@ -53,6 +53,39 @@ def main():
         return f, sol.converged, F, msol.converged
 
     f, conv, F, mconv = jax.block_until_ready(drive())
+
+    # --- two-phase fused solve + commander fused backend -----------------
+    from quadruped_control_tpu.control.commander import (
+        commander_step,
+        init_commander_carry,
+    )
+    from quadruped_control_tpu.control.plant import init_plant_state
+    from quadruped_control_tpu.utils.scenarios import grf_scenarios
+
+    @jax.jit
+    def drive2(key):
+        s = grf_scenarios(key, 16384, cfg, dtype=jnp.float32)
+        sol2 = solve_balance_qp_fused(
+            s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d, s.feet,
+            s.stance, cfg.balance, rows=16, two_phase=True,
+            polish_sweeps=2)
+        plant = init_plant_state(cfg, (1024,), dtype=jnp.float32)
+        carry = init_commander_carry((1024,), dtype=jnp.float32)
+        cmd = jnp.zeros((1024, 6), jnp.float32)
+        out, _ = commander_step(plant.com, plant.joints, carry, cmd,
+                                1.0 / cfg.frequency, cfg,
+                                qp_backend="fused")
+        return sol2.converged, out.torques
+
+    conv2, tau = jax.block_until_ready(drive2(jax.random.key(7)))
+    print(f"two-phase: conv {float(np.mean(np.asarray(conv2))):.4f}; "
+          f"commander-fused torques finite "
+          f"{bool(np.all(np.isfinite(np.asarray(tau))))}, max "
+          f"{float(np.max(np.abs(np.asarray(tau)))):.2f} N*m",
+          file=sys.stderr)
+    assert float(np.mean(np.asarray(conv2))) > 0.99
+    assert np.all(np.isfinite(np.asarray(tau)))
+    assert float(np.max(np.abs(np.asarray(tau)))) <= 20.0 + 1e-5
     f = np.asarray(f)
     total_fz = f[..., 2].sum(-1)
     print(f"fused: conv {np.mean(conv):.4f}, sum fz mean "

@@ -53,3 +53,44 @@ def test_warm_start_same_problem_is_stable(rng):
     obj_a = np.asarray(qp_objective(qp.Q, qp.c, sol.x))
     obj_b = np.asarray(qp_objective(qp.Q, qp.c, re.x))
     np.testing.assert_allclose(obj_b, obj_a, rtol=1e-8, atol=1e-8)
+
+
+def test_transition_aware_reset_beats_stale_warm_start(rng):
+    """Across a stance-pattern flip the carried (s, z) are stale; resetting
+    the changed legs' rows must not be worse than the stale warm start and
+    must reach the true optimum within the short schedule."""
+    cfg = mit_cheetah_config()
+    s = grf_scenarios(jax.random.key(11), 32, cfg, dtype=jnp.float64)
+    qp = assemble_qp_batch(s, cfg)
+    sol = solve_qp_ipm(qp.Q, qp.c, qp.G, qp.h, iterations=30)
+
+    # Next tick: trot pair flips — legs [RL, FR] <-> [FL, RR].
+    stance2 = ~s.stance
+    s2 = s._replace(stance=stance2)
+    qp2 = assemble_qp_batch(s2, cfg)
+    ref = solve_qp_ipm(qp2.Q, qp2.c, qp2.G, qp2.h, iterations=30)
+    obj_ref = np.asarray(qp_objective(qp2.Q, qp2.c, ref.x))
+
+    changed = jnp.repeat(s.stance != stance2, 6, axis=-1)
+    warm_reset = solve_qp_ipm(
+        qp2.Q, qp2.c, qp2.G, qp2.h, iterations=8, polish=True,
+        warm_start=(sol.x, sol.s, sol.z), warm_reset_mask=changed)
+    warm_stale = solve_qp_ipm(
+        qp2.Q, qp2.c, qp2.G, qp2.h, iterations=8, polish=True,
+        warm_start=(sol.x, sol.s, sol.z))
+
+    gap_reset = np.abs(
+        np.asarray(qp_objective(qp2.Q, qp2.c, warm_reset.x)) - obj_ref)
+    gap_stale = np.abs(
+        np.asarray(qp_objective(qp2.Q, qp2.c, warm_stale.x)) - obj_ref)
+    rel_reset = gap_reset / (1.0 + np.abs(obj_ref))
+    # A full stance flip moves the solution far from the warm point: 8
+    # iterations cannot rescue every instance (nor could a cold start) —
+    # require near-exact objectives for the bulk and no regression vs the
+    # stale warm start.
+    assert np.percentile(rel_reset, 90) < 1e-6, rel_reset
+    assert np.median(gap_reset) <= np.median(gap_stale) * 1.5
+    conv_reset = float(jnp.mean(warm_reset.converged.astype(jnp.float64)))
+    conv_stale = float(jnp.mean(warm_stale.converged.astype(jnp.float64)))
+    assert conv_reset >= conv_stale - 1e-9
+    assert conv_reset > 0.9
