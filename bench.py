@@ -61,7 +61,7 @@ def main():
         sol = solve_balance_qp_fused(
             s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d, s.feet,
             s.stance, cfg.balance, iterations=ITERATIONS, polish=True,
-            polish_sweeps=2, two_phase=True, rows=ROWS)
+            polish_sweeps=2, two_phase=True, split=True, rows=ROWS)
         return sol.x, sol.converged, s
 
     key = jax.random.key(0)

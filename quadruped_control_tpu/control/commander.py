@@ -189,10 +189,16 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
             solve_balance_qp_fused,
         )
 
+        # Tile height from the (static) batch size: taller tiles hide VPU
+        # latency but pad small batches to rows*128.
+        n_inst = 1
+        for d in com.x.shape[:-1]:
+            n_inst *= int(d)
+        rows = 16 if n_inst >= 2048 else 8
         sol = solve_balance_qp_fused(
             com.R, R_d, com.x, com.xdot, com.w, x_d, xdot_d, w_d, feet_body,
             gait.in_stance, cfg.balance, iterations=qp_iterations,
-            polish=qp_polish,
+            polish=qp_polish, rows=rows,
         )
     else:
         qp = dyn.build_balance_qp(

@@ -85,6 +85,21 @@ def plant_step(state: PlantState, forces_world, stance_mask, swing_foot_refs,
 
     f_legs = forces_world.reshape(forces_world.shape[:-1] + (4, 3))
     f_legs = jnp.where(stance_mask[..., None], f_legs, 0.0)
+    # Contact physics saturation: the ground cannot pull (fz >= 0) and
+    # tangential forces live inside the friction cone. The QP enforces this
+    # when converged; the plant enforces it ALWAYS, so a rare unconverged
+    # f32 solve (a ~1e-2 per-tick tail event in long trot sweeps) cannot
+    # inject unbounded force and NaN the whole scan — the surrogate
+    # analogue of the reference's +-20 N*m torque clamp + Drake's own
+    # contact model (commander_node.cpp:526, drake_interface_node.cpp:196).
+    fz = jnp.clip(f_legs[..., 2], 0.0, 2.0 * cfg.balance.fz_max)
+    ft_max = cfg.balance.mu * fz
+    f_legs = jnp.stack(
+        [jnp.clip(f_legs[..., 0], -ft_max, ft_max),
+         jnp.clip(f_legs[..., 1], -ft_max, ft_max),
+         fz],
+        axis=-1,
+    )
     f_total = jnp.sum(f_legs, axis=-2)
 
     gvec = jnp.array([0.0, 0.0, -GRAVITY], dtype=dtype)

@@ -237,7 +237,8 @@ def _max_step(v, dv, tau):
 
 @partial(jax.jit, static_argnames=("iterations",))
 def solve_mpc_qp_structured(data: MPCStructuredData, iterations: int = 30,
-                            tol: float = 3e-4, tau: float = 0.995
+                            tol: float = 3e-4, tau: float = 0.995,
+                            warm_start=None
                             ) -> tuple[jnp.ndarray, IPMSolution]:
     """Mehrotra IPM on the horizon QP with Riccati KKT solves.
 
@@ -245,6 +246,11 @@ def solve_mpc_qp_structured(data: MPCStructuredData, iterations: int = 30,
     Semantics (initialization, freeze, best-iterate) mirror solve_qp_ipm;
     scaling: forces are solved in units of fz_max and the cost normalized by
     max |c| (the structured analogue of equilibrate()).
+
+    warm_start: optional (F, s, z) in ORIGINAL units — typically the
+    previous receding-horizon tick's solution (shift it by one step before
+    passing for best effect). Slacks/duals are pushed to the interior as in
+    solve_qp_ipm.
     """
     dtype = data.err0.dtype
     N = data.B.shape[-3]
@@ -270,9 +276,19 @@ def solve_mpc_qp_structured(data: MPCStructuredData, iterations: int = 30,
 
     alpha_s = data.alpha  # appears inside hvp; R_t built separately below
 
-    x = jnp.zeros(batch + (N, NU), dtype)
-    s = jnp.maximum(hs, 1.0)
-    z = 1.0 / s
+    if warm_start is None:
+        x = jnp.zeros(batch + (N, NU), dtype)
+        s = jnp.maximum(hs, 1.0)
+        z = 1.0 / s
+    else:
+        Fw, sw, zw = warm_start
+        interior = jnp.asarray(1e-2, dtype)
+        x = jnp.broadcast_to(Fw / sigma, batch + (N, NU))
+        s = jnp.maximum(jnp.broadcast_to(sw.reshape(x.shape[:-2] + (N, _M)),
+                                         batch + (N, _M)), interior)
+        z = jnp.maximum(jnp.broadcast_to(
+            zw.reshape(x.shape[:-2] + (N, _M)) * nu, batch + (N, _M)),
+            interior)
 
     obj_scale = 1.0 + jnp.max(jnp.abs(cs), axis=(-2, -1))
     h_scale = 1.0 + jnp.max(jnp.abs(hs), axis=(-2, -1))

@@ -658,7 +658,12 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int,
 def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                   x_ref, s_ref, z_ref, diag_ref, Ksc, Dsc, usc,
                   *, s_diag, w_diag, swing_relax, iterations, tau, tol,
-                  polish, polish_sweeps, polish_refine):
+                  polish, polish_sweeps, polish_refine, warm_refs=None):
+    """Kernel body. Modes: full (barrier + polish), barrier-only
+    (polish=False), polish-only (warm_refs given + iterations == 0 — the
+    barrier is skipped and the warm (x, s, z) in ORIGINAL units seed the
+    polish). warm_refs lets a rows=32 barrier-only pass feed a rows=16
+    polish pass (the polish scratch caps its tile height)."""
     r = [[r_ref[3 * l + k] for k in range(3)] for l in range(4)]
     b = [b_ref[i] for i in range(6)]
     st = [st_ref[l] for l in range(4)]
@@ -670,7 +675,17 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                                s_diag, w_diag, swing_relax)
     Qs, cs, Gsr, hs, Dv, Er, nu = _equilibrate_tiles(Qu, c, Grow, h)
 
-    x, s, z = _barrier(Qs, cs, Gsr, hs, iterations=iterations, tau=tau)
+    if iterations > 0:
+        x, s, z = _barrier(Qs, cs, Gsr, hs, iterations=iterations, tau=tau)
+    else:
+        assert warm_refs is not None, "polish-only mode needs a warm start"
+        xin_ref, sin_ref, zin_ref = warm_refs
+        # Original units -> equilibrated coordinates.
+        x = [xin_ref[i] / Dv[i] for i in range(N)]
+        s = [jnp.maximum(sin_ref[rr] * Er[rr], jnp.float32(1e-30))
+             for rr in range(M)]
+        z = [jnp.maximum(zin_ref[rr] * nu / Er[rr], jnp.float32(1e-30))
+             for rr in range(M)]
     if polish:
         x, s, z, cert = _polish(Qs, cs, Gsr, hs, x, s, z, Ksc, Dsc, usc,
                                 sweeps=polish_sweeps, refine=polish_refine)
@@ -819,7 +834,7 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
                        polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
                        polish_refine: int = _POLISH_REFINE,
                        tol: float = 3e-5, tau: float = 0.995,
-                       rows: int = SUB,
+                       rows: int = SUB, warm=None,
                        interpret: bool = False) -> IPMSolution:
     """Fused assembly + solve of the batched GRF QP from raw SRB state.
 
@@ -833,6 +848,9 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
       rows: sublane height of the per-value tiles (8/16/32); taller tiles
         hide VPU latency (more independent instances per instruction) but
         multiply VMEM: the polish scratch is 5.3 MB at rows=8.
+      warm: optional (x, s, z) in ORIGINAL units for polish-only mode
+        (requires iterations == 0): the kernel re-assembles/equilibrates
+        and runs only the certified polish from the given point.
 
     Returns IPMSolution in original problem units; B must be a multiple of
     rows * 128.
@@ -841,19 +859,30 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
     nb = B // (rows * LANE)
     rp, bp, stp, mup, fminp, fmaxp = _prep_inputs(
         r_masked, b, stance, mu, fz_min, fz_max, rows)
+    inputs = [rp, bp, stp, mup, fminp, fmaxp]
+    in_specs = [_vec_spec(N, rows), _vec_spec(6, rows), _vec_spec(4, rows),
+                _vec_spec(1, rows), _vec_spec(1, rows), _vec_spec(1, rows)]
+    has_warm = warm is not None
+    if has_warm:
+        assert iterations == 0, "warm start implies polish-only mode"
+        xw, sw, zw = warm
+        inputs += [_pack_rows(xw.astype(jnp.float32), N, rows),
+                   _pack_rows(sw.astype(jnp.float32), M, rows),
+                   _pack_rows(zw.astype(jnp.float32), M, rows)]
+        in_specs += [_vec_spec(N, rows), _vec_spec(M, rows),
+                     _vec_spec(M, rows)]
 
     kern = partial(
         _fused_kernel_entry,
         s_diag=tuple(float(v) for v in s_diag), w_diag=float(w_diag),
         swing_relax=float(swing_relax), iterations=iterations, tau=tau,
         tol=tol, polish=polish, polish_sweeps=polish_sweeps,
-        polish_refine=polish_refine)
+        polish_refine=polish_refine, has_warm=has_warm)
 
     xo, so, zo, diag = pl.pallas_call(
         kern,
         grid=(nb,),
-        in_specs=[_vec_spec(N, rows), _vec_spec(6, rows), _vec_spec(4, rows),
-                  _vec_spec(1, rows), _vec_spec(1, rows), _vec_spec(1, rows)],
+        in_specs=in_specs,
         out_specs=[_vec_spec(N, rows), _vec_spec(M, rows), _vec_spec(M, rows),
                    _vec_spec(_N_DIAG, rows)],
         out_shape=[
@@ -874,7 +903,7 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
             if polish else []
         ),
         interpret=interpret,
-    )(rp, bp, stp, mup, fminp, fmaxp)
+    )(*inputs)
 
     x = _unpack_rows(xo)
     s = _unpack_rows(so)
@@ -888,11 +917,19 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
 
 
 def _fused_kernel_entry(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
-                        x_ref, s_ref, z_ref, diag_ref, *scratch, **kw):
+                        *rest, has_warm=False, **kw):
+    rest = list(rest)
+    warm_refs = None
+    if has_warm:
+        xin, sin, zin = rest[:3]
+        warm_refs = (xin[0], sin[0], zin[0])
+        rest = rest[3:]
+    x_ref, s_ref, z_ref, diag_ref = rest[:4]
+    scratch = rest[4:]
     Ksc, Dsc, usc = scratch if scratch else (None, None, None)
     _fused_kernel(r_ref[0], b_ref[0], st_ref[0], mu_ref[0], fzmin_ref[0],
                   fzmax_ref[0], x_ref.at[0], s_ref.at[0], z_ref.at[0],
-                  diag_ref.at[0], Ksc, Dsc, usc, **kw)
+                  diag_ref.at[0], Ksc, Dsc, usc, warm_refs=warm_refs, **kw)
 
 
 @partial(jax.jit, static_argnames=(
@@ -942,8 +979,41 @@ def assemble_qp_fused_debug(r_masked, b, stance, mu, fz_min, fz_max, *,
 
 @partial(jax.jit, static_argnames=(
     "s_diag", "w_diag", "swing_relax", "iterations", "polish_sweeps",
+    "polish_refine", "tol", "tau", "barrier_rows", "polish_rows",
+    "interpret"))
+def solve_grf_qp_fused_split(r_masked, b, stance, mu, fz_min, fz_max, *,
+                             s_diag, w_diag, swing_relax=SWING_ROW_RELAX,
+                             iterations: int = 20, polish_sweeps: int = 2,
+                             polish_refine: int = _POLISH_REFINE,
+                             tol: float = 3e-5, tau: float = 0.995,
+                             barrier_rows: int = 32, polish_rows: int = 16,
+                             interpret: bool = False) -> IPMSolution:
+    """Split-phase fused solve: barrier at max tile height, polish at the
+    tallest height its LDL scratch allows.
+
+    The packed-triangular polish scratch caps the fused kernel at rows=16;
+    the barrier has no scratch and runs ~2x faster at rows=32. This variant
+    runs them as two pallas_calls — the barrier's (x, s, z) round-trips
+    through HBM (60 f32/instance, negligible) into the polish-only mode.
+    B must be a multiple of max(barrier_rows, polish_rows) * 128.
+    """
+    sol1 = solve_grf_qp_fused(
+        r_masked, b, stance, mu, fz_min, fz_max, s_diag=s_diag,
+        w_diag=w_diag, swing_relax=swing_relax, iterations=iterations,
+        polish=False, tol=tol, tau=tau, rows=barrier_rows,
+        interpret=interpret)
+    return solve_grf_qp_fused(
+        r_masked, b, stance, mu, fz_min, fz_max, s_diag=s_diag,
+        w_diag=w_diag, swing_relax=swing_relax, iterations=0, polish=True,
+        polish_sweeps=polish_sweeps, polish_refine=polish_refine, tol=tol,
+        tau=tau, rows=polish_rows, warm=(sol1.x, sol1.s, sol1.z),
+        interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=(
+    "s_diag", "w_diag", "swing_relax", "iterations", "polish_sweeps",
     "polish_refine", "tail_divisor", "tail_iterations", "tail_sweeps",
-    "tol", "tau", "rows", "interpret"))
+    "tol", "tau", "rows", "split", "interpret"))
 def solve_grf_qp_fused_two_phase(
         r_masked, b, stance, mu, fz_min, fz_max, *, s_diag, w_diag,
         swing_relax=SWING_ROW_RELAX, iterations: int = 20,
@@ -951,6 +1021,7 @@ def solve_grf_qp_fused_two_phase(
         tail_divisor: int = 8, tail_iterations: int = 28,
         tail_sweeps: int = _POLISH_SWEEPS_PALLAS,
         tol: float = 3e-5, tau: float = 0.995, rows: int = SUB,
+        split: bool = False,
         interpret: bool = False) -> IPMSolution:
     """Two-phase fused solve: cheap schedule for everyone, long schedule for
     the hard tail.
@@ -963,18 +1034,29 @@ def solve_grf_qp_fused_two_phase(
     the phase-1 schedule while the tail gets a longer schedule than the
     single-phase default — throughput AND convergence both improve.
 
-    Requires B % (tail_divisor * rows * 128) == 0.
+    split=True runs phase 1 in split form (barrier at rows=32, polish-only
+    at ``rows``) — see solve_grf_qp_fused_split.
+
+    Requires B % (tail_divisor * rows * 128) == 0 (and, with split,
+    B % (32 * 128) == 0).
     """
     B = r_masked.shape[0]
     Bt = B // tail_divisor
     assert Bt % (rows * LANE) == 0, (B, tail_divisor, rows)
 
-    sol1 = solve_grf_qp_fused(
-        r_masked, b, stance, mu, fz_min, fz_max, s_diag=s_diag,
-        w_diag=w_diag, swing_relax=swing_relax, iterations=iterations,
-        polish=True, polish_sweeps=polish_sweeps,
-        polish_refine=polish_refine, tol=tol, tau=tau, rows=rows,
-        interpret=interpret)
+    if split:
+        sol1 = solve_grf_qp_fused_split(
+            r_masked, b, stance, mu, fz_min, fz_max, s_diag=s_diag,
+            w_diag=w_diag, swing_relax=swing_relax, iterations=iterations,
+            polish_sweeps=polish_sweeps, polish_refine=polish_refine,
+            tol=tol, tau=tau, polish_rows=rows, interpret=interpret)
+    else:
+        sol1 = solve_grf_qp_fused(
+            r_masked, b, stance, mu, fz_min, fz_max, s_diag=s_diag,
+            w_diag=w_diag, swing_relax=swing_relax, iterations=iterations,
+            polish=True, polish_sweeps=polish_sweeps,
+            polish_refine=polish_refine, tol=tol, tau=tau, rows=rows,
+            interpret=interpret)
 
     # Unconverged instances first (stable order); take the first Bt slots.
     order = jnp.argsort(sol1.converged.astype(jnp.int32), stable=True)
@@ -1040,6 +1122,7 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                            rows: int = SUB, two_phase: bool = False,
                            tail_divisor: int = 8, tail_iterations: int = 28,
                            tail_sweeps: int = _POLISH_SWEEPS_PALLAS,
+                           split: bool = False,
                            interpret: bool = False) -> IPMSolution:
     """End-to-end fused balance-controller solve: the XLA side computes only
     the tiny per-instance precursors (PD accelerations, masked world foot
@@ -1097,7 +1180,7 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
         sol = solve_grf_qp_fused_two_phase(
             *args, iterations=iterations, tail_divisor=tail_divisor,
             tail_iterations=tail_iterations, tail_sweeps=tail_sweeps,
-            **common)
+            split=split, **common)
     else:
         sol = solve_grf_qp_fused(
             *args, iterations=iterations, polish=polish, **common)

@@ -15,7 +15,7 @@ from quadruped_control_tpu.config import mit_cheetah_config
 from quadruped_control_tpu.solver.pallas_fused import solve_balance_qp_fused
 from quadruped_control_tpu.utils.scenarios import grf_scenarios
 
-BATCH = 16384
+BATCH = 32768
 
 
 def log(msg):
@@ -27,30 +27,29 @@ def main():
     log(f"device: {jax.devices()[0]}")
 
     configs = [
-        # (rows, iterations, sweeps, refine, polish, two_phase)
-        (16, 20, 8, 4, True, False),   # current best single-phase
-        (16, 20, 6, 4, True, False),
-        (16, 20, 5, 4, True, False),
-        (16, 20, 4, 4, True, False),
-        (24, 20, 8, 4, True, False),   # 8.2 MB scratch — may fit
-        (16, 20, 2, 4, True, True),    # two-phase: cheap + hard-tail resolve
-        (16, 20, 1, 4, True, True),
-        (16, 16, 2, 4, True, True),
+        # (rows, it, sweeps, refine, polish, two, split, tail_div, tail_sw)
+        (16, 20, 2, 4, True, True, True, 8, 8),    # champion (2.29M)
+        (16, 20, 2, 4, True, True, True, 16, 8),   # smaller tail
+        (16, 20, 2, 3, True, True, True, 8, 8),    # fewer refine solves
+        (16, 20, 3, 4, True, True, True, 16, 8),   # 3 sweeps + small tail
+        (16, 18, 2, 4, True, True, True, 16, 10),
     ]
 
-    for rows, its, sweeps, refine, polish, two in configs:
+    for rows, its, sweeps, refine, polish, two, split, tdiv, tsw in configs:
         name = (f"rows={rows} it={its} sw={sweeps} rf={refine} "
-                f"polish={polish} two={two}")
+                f"two={two} split={split} tdiv={tdiv} tsw={tsw}")
         try:
             @jax.jit
             def pipeline(key, rows=rows, its=its, sweeps=sweeps,
-                         refine=refine, polish=polish, two=two):
+                         refine=refine, polish=polish, two=two, split=split,
+                         tdiv=tdiv, tsw=tsw):
                 s = grf_scenarios(key, BATCH, cfg, dtype=jnp.float32)
                 sol = solve_balance_qp_fused(
                     s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d,
                     s.feet, s.stance, cfg.balance, iterations=its,
                     polish=polish, polish_sweeps=max(sweeps, 1),
-                    polish_refine=max(refine, 1), rows=rows, two_phase=two)
+                    polish_refine=max(refine, 1), rows=rows, two_phase=two,
+                    split=split, tail_divisor=tdiv, tail_sweeps=tsw)
                 return sol.converged
 
             t0 = time.time()

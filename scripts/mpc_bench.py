@@ -27,6 +27,7 @@ from quadruped_control_tpu.mpc.horizon import (
     make_reference_trajectory,
     solve_mpc,
 )
+from quadruped_control_tpu.mpc.structured import solve_mpc_structured
 from quadruped_control_tpu.utils.scenarios import standing_feet
 
 
@@ -72,22 +73,37 @@ def main(batch=256, horizon=10):
         1e-4 * rngh.standard_normal(xi0.shape), jnp.float32)
         for _ in range(reps + 1)]
 
-    def fn(x):
+    def fn_condensed(x):
         return solve_mpc(x, ref, yaw, feet, x_com, sched, horizon, dt,
                          cfg, iterations=30, mass=mass,
                          inertia_diag=inertia, mu=mu)
-    t0 = time.time()
-    F, sol = jax.block_until_ready(fn(xi0s[0]))
-    print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    for i in range(reps):
-        F, sol = fn(xi0s[i + 1])
-    jax.block_until_ready(F)
-    dtm = (time.time() - t0) / reps
-    conv = float(jnp.mean(sol.converged.astype(jnp.float32)))
-    print(f"batch={batch} N={horizon}: {dtm*1e3:.1f} ms -> "
-          f"{batch/dtm:,.0f} horizon-QPs/s "
-          f"({batch*horizon/dtm:,.0f} step-QPs/s equivalent), conv {conv:.3f}")
+
+    def fn_structured(x):
+        return solve_mpc_structured(x, ref, yaw, feet, x_com, sched,
+                                    horizon, dt, cfg, iterations=30,
+                                    mass=mass, inertia_diag=inertia, mu=mu)
+
+    objs = {}
+    for name, fn in (("condensed", fn_condensed),
+                     ("structured", fn_structured)):
+        t0 = time.time()
+        F, sol = jax.block_until_ready(fn(xi0s[0]))
+        print(f"{name}: compile+first {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        for i in range(reps):
+            F, sol = fn(xi0s[i + 1])
+        jax.block_until_ready(F)
+        dtm = (time.time() - t0) / reps
+        conv = float(jnp.mean(sol.converged.astype(jnp.float32)))
+        objs[name] = np.asarray(F, np.float64)
+        print(f"{name}: batch={batch} N={horizon}: {dtm*1e3:.1f} ms -> "
+              f"{batch/dtm:,.0f} horizon-QPs/s "
+              f"({batch*horizon/dtm:,.0f} step-QPs/s equivalent), "
+              f"conv {conv:.3f}")
+    d = np.abs(objs["condensed"] - objs["structured"])
+    print(f"condensed vs structured force diff: p50 "
+          f"{np.median(d):.2e} max {d.max():.2e} N")
 
 
 if __name__ == "__main__":

@@ -68,7 +68,7 @@ def main():
         sol2 = solve_balance_qp_fused(
             s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d, s.feet,
             s.stance, cfg.balance, rows=16, two_phase=True,
-            polish_sweeps=2)
+            polish_sweeps=2, split=True)
         plant = init_plant_state(cfg, (1024,), dtype=jnp.float32)
         carry = init_commander_carry((1024,), dtype=jnp.float32)
         cmd = jnp.zeros((1024, 6), jnp.float32)

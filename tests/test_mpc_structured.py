@@ -171,3 +171,35 @@ def test_structured_batched_long_horizon():
     # solve_mpc's tol note); objective parity lands ~1e-4.
     rel = abs(obj(F[0]) - obj(F64)) / (1 + abs(obj(F64)))
     assert rel < 2e-4, rel
+
+
+def test_structured_warm_start_receding_horizon():
+    """Warm-starting from the previous tick's (shifted) plan reaches the
+    optimum in a short schedule — the MPC-stream hotstart analogue."""
+    N = 8
+    qp, data, args = _both_forms(N)
+    xi0, ref, yaw, feet_w, x_com, stance = args
+    F0, sol0 = ms.solve_mpc_structured(xi0, ref, yaw, feet_w, x_com, stance,
+                                       N, DT, CFG, iterations=40)
+    assert bool(sol0.converged)
+
+    # Next tick: slightly advanced initial state (one step of the plan).
+    from quadruped_control_tpu.mpc.horizon import srb_discrete_dynamics
+    A, B = srb_discrete_dynamics(yaw, feet_w, x_com, DT, CFG)
+    xi1 = A @ xi0 + B @ F0[0]
+    data1 = ms.build_mpc_structured(xi1, ref, yaw, feet_w, x_com, stance,
+                                    N, DT, CFG)
+    ref_sol = ms.solve_mpc_qp_structured(data1, iterations=40)[1]
+
+    warm = (F0, sol0.s, sol0.z)
+    F_w, sol_w = ms.solve_mpc_qp_structured(data1, iterations=8,
+                                            warm_start=warm)
+    H = np.asarray(qp.H)  # same dynamics/weights -> same H
+    c1 = np.asarray(ms._linear_cost(data1)).reshape(-1)
+
+    def obj(x):
+        x = np.asarray(x).reshape(-1)
+        return 0.5 * x @ H @ x + c1 @ x
+
+    rel = abs(obj(F_w) - obj(ref_sol.x)) / (1 + abs(obj(ref_sol.x)))
+    assert rel < 1e-7, rel

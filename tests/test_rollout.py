@@ -77,3 +77,29 @@ def test_walk_batched_scenarios():
     # All four identical scenarios agree.
     x = np.asarray(res.trace.x)
     np.testing.assert_allclose(x[:, 0], x[:, 1], atol=1e-9)
+
+
+def test_plant_saturates_unphysical_forces():
+    """A garbage QP output (huge pulls/pushes) must not NaN the plant: the
+    surrogate enforces the contact cone (fz >= 0, |ft| <= mu fz) like
+    Drake's contact model bounds the reference."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadruped_control_tpu.config import mit_cheetah_physical_config
+    from quadruped_control_tpu.control.plant import (
+        init_plant_state,
+        plant_step,
+    )
+
+    cfg = mit_cheetah_physical_config()
+    plant = init_plant_state(cfg, (), dtype=jnp.float64)
+    bad = jnp.full((12,), 1.0e9, jnp.float64).at[2].set(-1.0e9)
+    stance = jnp.ones(4, dtype=bool)
+    for _ in range(5):
+        plant = plant_step(plant, bad, stance, plant.feet_world,
+                           0.01, cfg)
+    x = np.asarray(plant.com.x)
+    assert np.all(np.isfinite(x))
+    # Bounded upward acceleration: fz <= 4 * 2 * fz_max.
+    assert np.all(np.abs(x) < 10.0)
