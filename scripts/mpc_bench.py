@@ -27,6 +27,7 @@ from quadruped_control_tpu.mpc.horizon import (
     make_reference_trajectory,
     solve_mpc,
 )
+from quadruped_control_tpu.mpc.pallas_riccati import solve_mpc_fused
 from quadruped_control_tpu.mpc.structured import solve_mpc_structured
 from quadruped_control_tpu.utils.scenarios import standing_feet
 
@@ -83,9 +84,16 @@ def main(batch=256, horizon=10):
                                     horizon, dt, cfg, iterations=30,
                                     mass=mass, inertia_diag=inertia, mu=mu)
 
+    def fn_kernel(x):
+        return solve_mpc_fused(x, ref, yaw, feet, x_com, sched, horizon, dt,
+                               cfg, iterations=40, mass=mass,
+                               inertia_diag=inertia, mu=mu)
+
     objs = {}
-    for name, fn in (("condensed", fn_condensed),
-                     ("structured", fn_structured)):
+    fns = [("condensed", fn_condensed), ("structured", fn_structured)]
+    if batch % 1024 == 0:
+        fns.append(("riccati-kernel", fn_kernel))
+    for name, fn in fns:
         t0 = time.time()
         F, sol = jax.block_until_ready(fn(xi0s[0]))
         print(f"{name}: compile+first {time.time()-t0:.1f}s",
@@ -101,9 +109,12 @@ def main(batch=256, horizon=10):
               f"{batch/dtm:,.0f} horizon-QPs/s "
               f"({batch*horizon/dtm:,.0f} step-QPs/s equivalent), "
               f"conv {conv:.3f}")
-    d = np.abs(objs["condensed"] - objs["structured"])
-    print(f"condensed vs structured force diff: p50 "
-          f"{np.median(d):.2e} max {d.max():.2e} N")
+    for a, b in (("condensed", "structured"), ("condensed",
+                                                "riccati-kernel")):
+        if a in objs and b in objs:
+            d = np.abs(objs[a] - objs[b])
+            print(f"{a} vs {b} force diff: p50 {np.median(d):.2e} "
+                  f"max {d.max():.2e} N")
 
 
 if __name__ == "__main__":

@@ -77,6 +77,34 @@ def main():
                                 qp_backend="fused")
         return sol2.converged, out.torques
 
+    # --- Pallas Riccati MPC kernel ----------------------------------------
+    from quadruped_control_tpu.mpc.pallas_riccati import solve_mpc_fused
+
+    @jax.jit
+    def drive3():
+        Bm = 1024
+        xi0 = jnp.zeros((Bm, NX), dtype).at[:, 5].set(0.22)
+        xi0 = xi0.at[:, 12].set(1.0)
+        ref = make_reference_trajectory(xi0, jnp.zeros((Bm, 6), dtype),
+                                        N, DT)
+        feet_w = jnp.broadcast_to(
+            standing_feet(cfg, dtype) + jnp.array([0, 0, 0.26], dtype),
+            (Bm, 4, 3))
+        Fm, msol2 = solve_mpc_fused(
+            xi0, ref, jnp.zeros((Bm,), dtype), feet_w,
+            jnp.tile(jnp.array([0, 0, 0.26], dtype), (Bm, 1)),
+            jnp.ones((Bm, N, 4), dtype=bool), N, DT, cfg, iterations=40)
+        return Fm, msol2.converged
+
+    Fm3, mconv3 = jax.block_until_ready(drive3())
+    Fm3 = np.asarray(Fm3).reshape(-1, N, 4, 3)
+    print(f"riccati kernel: conv {float(np.mean(np.asarray(mconv3))):.4f}, "
+          f"step-0 sum fz {Fm3[0, 0, :, 2].sum():.1f} N, finite "
+          f"{np.all(np.isfinite(Fm3))}", file=sys.stderr)
+    assert np.all(np.isfinite(Fm3))
+    assert float(np.mean(np.asarray(mconv3))) > 0.98
+    assert Fm3[0, 0, :, 2].sum() > 11 * 9.81  # pushes harder when low
+
     conv2, tau = jax.block_until_ready(drive2(jax.random.key(7)))
     print(f"two-phase: conv {float(np.mean(np.asarray(conv2))):.4f}; "
           f"commander-fused torques finite "
