@@ -84,6 +84,10 @@ def _mpc_kernel(yaw_ref, r_ref, mIb_ref, mu_ref, fz_ref, xi0_ref, ref_ref,
                 sigma_c, tau, tol, use_hbm_k=True):
     f32 = jnp.float32
     N = n_steps
+    # Long horizons brush the 16 MB VMEM ceiling (N=20 missed by 16 KB):
+    # drop the best-iterate buffer there — freeze + NaN-gated updates keep
+    # the final iterate sound on their own.
+    track_best = N <= 16
     eps = f32(1.1920929e-07)
     d_max = 1.0 / eps
     big = f32(3.0e38)
@@ -320,7 +324,8 @@ def _mpc_kernel(yaw_ref, r_ref, mIb_ref, mu_ref, fz_ref, xi0_ref, ref_ref,
 
     def init_F(i, _):
         Fsc[i] = vzero
-        bFsc[i] = vzero
+        if track_best:
+            bFsc[i] = vzero
         return 0
 
     lax.fori_loop(0, N * NU, init_F, 0)
@@ -407,12 +412,12 @@ def _mpc_kernel(yaw_ref, r_ref, mIb_ref, mu_ref, fz_ref, xi0_ref, ref_ref,
 
         merit = pr / h_scale + dr / obj_scale + mu_avg / obj_scale
         improve = merit < best_merit
+        if track_best:
+            def best_body(i, _):
+                bFsc[i] = jnp.where(improve, Fsc[i], bFsc[i])
+                return 0
 
-        def best_body(i, _):
-            bFsc[i] = jnp.where(improve, Fsc[i], bFsc[i])
-            return 0
-
-        lax.fori_loop(0, N * NU, best_body, 0)
+            lax.fori_loop(0, N * NU, best_body, 0)
         best_merit = jnp.where(improve, merit, best_merit)
 
         done = ((mu_avg < (100.0 * eps) * obj_scale)
@@ -726,7 +731,8 @@ def _mpc_kernel(yaw_ref, r_ref, mIb_ref, mu_ref, fz_ref, xi0_ref, ref_ref,
     dr = lax.fori_loop(0, N * NU, drmax2, vzero)
     gap = gap * (1.0 / (N * MC))
     merit_f = pr / h_scale + dr / obj_scale + gap / obj_scale
-    use_final = merit_f <= best_merit
+    use_final = (merit_f <= best_merit) | jnp.asarray(not track_best,
+                                                      jnp.bool_)
 
     sf = f32(SIGMA_F)
 
@@ -866,7 +872,8 @@ def solve_mpc_qp_riccati(yaw, r_levers, mass, inertia_diag, mu, fz_min,
             pltpu.VMEM((N * NU, ROWS, LANE), f32),    # dFsc
             pltpu.VMEM((N * NU, ROWS, LANE), f32),    # csc
             pltpu.VMEM((N * MC, ROWS, LANE), f32),    # hsc
-            pltpu.VMEM((N * NU, ROWS, LANE), f32),    # bFsc
+            # best-F buffer only for short horizons (VMEM budget)
+            pltpu.VMEM(((N * NU) if N <= 16 else 1, ROWS, LANE), f32),
         ] + ([pltpu.SemaphoreType.DMA(())] if use_hbm_k else []),
         interpret=interpret,
     )(yawp, rp, mIbp, mup, fzp, xi0p, refp, stp)
