@@ -65,42 +65,43 @@ def main(batch=256, horizon=10):
         jax.random.uniform(ks[4], (batch, 3), jnp.float32, 0.8, 1.2)
     mu = jax.random.uniform(ks[5], (batch,), jnp.float32, 0.5, 1.0)
 
-    # NOTE: feed fresh inputs per rep — repeated dispatch of identical
-    # inputs misbehaves on the axon tunnel (see CLAUDE.md). Perturbations
-    # are precomputed on host so the timing loop is dispatch-only.
+    # NOTE: fresh inputs must be derived ON DEVICE from a folded key —
+    # host-precomputed input lists time as ~0 ms on the axon tunnel
+    # (async-dispatch artifact, see CLAUDE.md).
     reps = 5
-    rngh = np.random.default_rng(0)
-    xi0s = [xi0 + jnp.asarray(
-        1e-4 * rngh.standard_normal(xi0.shape), jnp.float32)
-        for _ in range(reps + 1)]
 
-    def fn_condensed(x):
-        return solve_mpc(x, ref, yaw, feet, x_com, sched, horizon, dt,
-                         cfg, iterations=30, mass=mass,
+    def perturb(key):
+        return xi0 + 1e-4 * jax.random.normal(key, xi0.shape, jnp.float32)
+
+    def fn_condensed(key):
+        return solve_mpc(perturb(key), ref, yaw, feet, x_com, sched,
+                         horizon, dt, cfg, iterations=30, mass=mass,
                          inertia_diag=inertia, mu=mu)
 
-    def fn_structured(x):
-        return solve_mpc_structured(x, ref, yaw, feet, x_com, sched,
-                                    horizon, dt, cfg, iterations=30,
+    def fn_structured(key):
+        return solve_mpc_structured(perturb(key), ref, yaw, feet, x_com,
+                                    sched, horizon, dt, cfg, iterations=30,
                                     mass=mass, inertia_diag=inertia, mu=mu)
 
-    def fn_kernel(x):
-        return solve_mpc_fused(x, ref, yaw, feet, x_com, sched, horizon, dt,
-                               cfg, iterations=40, mass=mass,
+    def fn_kernel(key):
+        return solve_mpc_fused(perturb(key), ref, yaw, feet, x_com, sched,
+                               horizon, dt, cfg, iterations=40, mass=mass,
                                inertia_diag=inertia, mu=mu)
 
     objs = {}
-    fns = [("condensed", fn_condensed), ("structured", fn_structured)]
+    fns = [("condensed", jax.jit(fn_condensed)),
+           ("structured", jax.jit(fn_structured))]
     if batch % 1024 == 0:
-        fns.append(("riccati-kernel", fn_kernel))
+        fns.append(("riccati-kernel", jax.jit(fn_kernel)))
+    keys = jax.random.split(jax.random.key(7), reps + 1)
     for name, fn in fns:
         t0 = time.time()
-        F, sol = jax.block_until_ready(fn(xi0s[0]))
+        F, sol = jax.block_until_ready(fn(keys[0]))
         print(f"{name}: compile+first {time.time()-t0:.1f}s",
               file=sys.stderr)
         t0 = time.time()
         for i in range(reps):
-            F, sol = fn(xi0s[i + 1])
+            F, sol = fn(keys[i + 1])
         jax.block_until_ready(F)
         dtm = (time.time() - t0) / reps
         conv = float(jnp.mean(sol.converged.astype(jnp.float32)))
