@@ -90,7 +90,10 @@ def init_commander_carry(batch_shape=(), dtype=jnp.float32) -> CommanderCarry:
 def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    cmd_twist, dt, cfg: ControlConfig,
                    qp_iterations: int = 15, qp_polish: bool = True,
-                   qp_warm_start: bool = False, qp_backend: str = "jnp"):
+                   qp_warm_start: bool = False, qp_backend: str = "jnp",
+                   controller: str = "balance", mpc_horizon: int = 8,
+                   mpc_dt: float = 0.05, mpc_iterations: int = 25,
+                   mpc_backend: str = "structured"):
     """One control tick. All arguments broadcast over leading batch dims.
 
     Args:
@@ -103,6 +106,18 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         single-pallas_call assembly+solve kernel, solver/pallas_fused.py —
         the fast path for large rollout sweeps; pads to its tile multiple,
         so use it when the batch is ~1024+).
+      controller: "balance" — the reference's single-step GRF QP
+        (balance_controller.cpp:98-235); "mpc" — receding-horizon convex
+        SRB MPC (Di Carlo et al. 2018, mpc/): the stance GRFs come from
+        f_0 of the horizon solve over the gait's scheduled contacts; the
+        swing pipeline (footholds, sextic tracking, IK, PD) is identical.
+      mpc_horizon / mpc_dt / mpc_iterations: horizon length N (static), MPC
+        step (>= control dt; the schedule is sampled from the gait clock),
+        and IPM iteration count for controller="mpc".
+      mpc_backend: "condensed" (mpc/horizon, dense stacked QP),
+        "structured" (O(N) Riccati IPM, any batch), or "riccati-pallas"
+        (mpc/pallas_riccati single-kernel path; batch must be a multiple
+        of 1024).
     Returns:
       (CommanderOutput, CommanderCarry).
     """
@@ -183,8 +198,61 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
     tau_swing = joint_pd_control(q_ref, qdot_ref, joints.q, joints.qdot,
                                  cfg.joint_control)
 
-    # 9. Balance controller QP (commander_node.cpp:507-508).
-    if qp_backend == "fused":
+    # 9. Stance-force controller: single-step balance QP (the reference's
+    #    hot path, commander_node.cpp:507-508) or receding-horizon MPC.
+    if controller == "mpc":
+        from quadruped_control_tpu.mpc.horizon import (
+            make_reference_trajectory,
+            solve_mpc,
+        )
+        from quadruped_control_tpu.math.rotations import matrix_to_rpy
+
+        rpy = matrix_to_rpy(com.R)
+        ones = jnp.ones(com.x.shape[:-1] + (1,), dtype=dtype)
+        xi0 = jnp.concatenate([rpy, com.x, com.w, com.xdot, ones], axis=-1)
+
+        # Contact schedule over the horizon from the same gait clock that
+        # produced this tick's stance mask (step 0 of the schedule equals
+        # gait.in_stance when walking); all-stance until the clock runs.
+        t0 = jnp.maximum(gait_time, 0.0)
+        t_hor = t0[..., None] + mpc_dt * jnp.arange(mpc_horizon, dtype=dtype)
+        gait_hor = gait_at_time(t_hor, gait_cfg, dtype=dtype)
+        stance_sched = jnp.where(walking[..., None, None],
+                                 gait_hor.in_stance, True)
+
+        # Constant-twist reference from the command (zero twist -> hold the
+        # current (x, y, yaw) and drive to the stand height: the stand_up
+        # path's MPC analogue).
+        cmd_eff = jnp.where(wmask, cmd_twist, 0.0)
+        xi_ref = make_reference_trajectory(xi0, cmd_eff, mpc_horizon, mpc_dt,
+                                           target_height=cfg.stand.height)
+        yaw = rpy[..., 2]
+        if mpc_backend == "riccati-pallas":
+            from quadruped_control_tpu.mpc.pallas_riccati import (
+                solve_mpc_fused,
+            )
+
+            F, sol = solve_mpc_fused(
+                xi0, xi_ref, yaw, p_start, com.x, stance_sched,
+                mpc_horizon, mpc_dt, cfg, iterations=mpc_iterations)
+        elif mpc_backend == "structured":
+            from quadruped_control_tpu.mpc.structured import (
+                solve_mpc_structured,
+            )
+
+            F, sol = solve_mpc_structured(
+                xi0, xi_ref, yaw, p_start, com.x, stance_sched,
+                mpc_horizon, mpc_dt, cfg, iterations=mpc_iterations)
+        else:
+            F, sol = solve_mpc(
+                xi0, xi_ref, yaw, p_start, com.x, stance_sched,
+                mpc_horizon, mpc_dt, cfg, iterations=mpc_iterations)
+        sol = sol._replace(
+            x=F[..., 0, :],
+            s=jnp.broadcast_to(carry.qp_s, carry.qp_s.shape),
+            z=jnp.broadcast_to(carry.qp_z, carry.qp_z.shape),
+        )
+    elif qp_backend == "fused":
         from quadruped_control_tpu.solver.pallas_fused import (
             solve_balance_qp_fused,
         )

@@ -48,11 +48,16 @@ class RolloutResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("steps", "cfg", "qp_iterations",
-                                   "qp_polish", "record", "qp_backend"))
+                                   "qp_polish", "record", "qp_backend",
+                                   "controller", "mpc_horizon", "mpc_dt",
+                                   "mpc_iterations", "mpc_backend"))
 def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             cfg: ControlConfig, qp_iterations: int = 12,
             qp_polish: bool = False, record: bool = True,
-            qp_backend: str = "jnp") -> RolloutResult:
+            qp_backend: str = "jnp", controller: str = "balance",
+            mpc_horizon: int = 8, mpc_dt: float = 0.05,
+            mpc_iterations: int = 25,
+            mpc_backend: str = "structured") -> RolloutResult:
     """Run ``steps`` control ticks of the closed loop.
 
     Args:
@@ -76,7 +81,9 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
         out, carry_next = commander_step(
             plant_s.com, plant_s.joints, carry_s, cmd_twist, dt, cfg,
             qp_iterations=qp_iterations, qp_polish=qp_polish,
-            qp_backend=qp_backend,
+            qp_backend=qp_backend, controller=controller,
+            mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
+            mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
         )
         plant_next = plant_step(
             plant_s, out.forces_world, out.gait.in_stance,
@@ -100,9 +107,37 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
     return RolloutResult(plant=plant_f, carry=carry_f, trace=trace)
 
 
+def rollout_chunked(plant: PlantState, carry: CommanderCarry, cmd_twist,
+                    steps: int, cfg: ControlConfig, chunk: int = 50,
+                    **kwargs) -> RolloutResult:
+    """``rollout`` split into host-side chunks of ``chunk`` ticks.
+
+    Two reasons to chunk: (a) remote-attached accelerators (the axon TPU
+    tunnel) abort single XLA executions that run for tens of seconds, which
+    a long scan of a heavy tick (e.g. controller="mpc") easily exceeds;
+    (b) the compiled program is the same for every chunk, so arbitrarily
+    long horizons reuse one compilation. Traces are concatenated on host.
+    """
+    chunks = []
+    done = 0
+    while done < steps:
+        n = min(chunk, steps - done)
+        res = jax.block_until_ready(
+            rollout(plant, carry, cmd_twist, n, cfg, **kwargs))
+        plant, carry = res.plant, res.carry
+        chunks.append(res.trace)
+        done += n
+    if kwargs.get("record", True):
+        trace = jax.tree.map(lambda *a: jnp.concatenate(a), *chunks)
+    else:
+        trace = 0
+    return RolloutResult(plant=plant, carry=carry, trace=trace)
+
+
 def stand_up_rollout(cfg: ControlConfig, seconds: float = 2.0,
                      batch_shape=(), dtype=jnp.float32,
-                     qp_iterations: int = 12) -> RolloutResult:
+                     qp_iterations: int = 12, **rollout_kwargs
+                     ) -> RolloutResult:
     """The reference's stand_up scenario (§3.3): from the laying pose, pure
     balance control to the standing height, zero commanded twist."""
     steps = int(seconds * cfg.frequency)
@@ -110,18 +145,20 @@ def stand_up_rollout(cfg: ControlConfig, seconds: float = 2.0,
     carry = init_commander_carry(batch_shape, dtype=dtype)
     cmd = jnp.zeros(batch_shape + (6,), dtype=dtype)
     return rollout(plant, carry, cmd, steps, cfg,
-                   qp_iterations=qp_iterations)
+                   qp_iterations=qp_iterations, **rollout_kwargs)
 
 
 def walk_rollout(cfg: ControlConfig, vx: float = 0.2, vy: float = 0.0,
                  wz: float = 0.0, seconds: float = 4.0, batch_shape=(),
-                 dtype=jnp.float32, qp_iterations: int = 12) -> RolloutResult:
+                 dtype=jnp.float32, qp_iterations: int = 12,
+                 **rollout_kwargs) -> RolloutResult:
     """Stand up, then trot with the commanded planar twist (the reference's
     teleop walking demo, README.md:54-63)."""
     stand = stand_up_rollout(cfg, seconds=1.5, batch_shape=batch_shape,
-                             dtype=dtype, qp_iterations=qp_iterations)
+                             dtype=dtype, qp_iterations=qp_iterations,
+                             **rollout_kwargs)
     steps = int(seconds * cfg.frequency)
     cmd = jnp.zeros(batch_shape + (6,), dtype=dtype)
     cmd = cmd.at[..., 0].set(vx).at[..., 1].set(vy).at[..., 5].set(wz)
     return rollout(stand.plant, stand.carry, cmd, steps, cfg,
-                   qp_iterations=qp_iterations)
+                   qp_iterations=qp_iterations, **rollout_kwargs)

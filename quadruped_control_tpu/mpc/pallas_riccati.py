@@ -895,16 +895,60 @@ def solve_mpc_fused(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
                     mu=None, state_weights=None, force_weight: float = 1e-6,
                     interpret: bool = False):
     """Drop-in analogue of mpc/horizon.solve_mpc running in the Pallas
-    Riccati kernel (batch must be a multiple of 1024)."""
+    Riccati kernel. Any batch shape: instances are flattened and padded to
+    the 1024 tile multiple (pads replicate instance 0 and are stripped), so
+    the commander/rollout path can use the kernel at arbitrary batch."""
     if state_weights is None:
         state_weights = (50.0, 50.0, 10.0, 1.0, 1.0, 100.0,
                          1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 0.0)
     bal = cfg.balance
     r = feet_world - x_com[..., None, :]
-    return solve_mpc_qp_riccati(
-        yaw, r, bal.mass if mass is None else mass,
-        bal.inertia_diag if inertia_diag is None else inertia_diag,
-        bal.mu if mu is None else mu, bal.fz_min, bal.fz_max,
-        xi0, xi_ref, stance_schedule, n_steps=int(horizon), dt=float(dt),
-        state_weights=tuple(state_weights), alpha=float(force_weight),
-        iterations=iterations, interpret=interpret)
+
+    batch_shape = jnp.broadcast_shapes(
+        xi0.shape[:-1], xi_ref.shape[:-2], yaw.shape, r.shape[:-2],
+        stance_schedule.shape[:-2])
+    B = 1
+    for d in batch_shape:
+        B *= int(d)
+    Bp = ((B + TILE - 1) // TILE) * TILE
+
+    def flat(a, tail):
+        a = jnp.broadcast_to(a, batch_shape + tail).reshape((B,) + tail)
+        if Bp > B:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (Bp - B,) + tail)], axis=0)
+        return a
+
+    def flat_param(v, tail=()):
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 0 or v.shape == tail:
+            return v  # constant across instances; the kernel broadcasts
+        return flat(v, tail)
+
+    N = int(horizon)
+    F, sol = solve_mpc_qp_riccati(
+        flat(yaw, ()), flat(r, (4, 3)),
+        flat_param(bal.mass if mass is None else mass),
+        flat_param(
+            bal.inertia_diag if inertia_diag is None else inertia_diag,
+            (3,)),
+        flat_param(bal.mu if mu is None else mu), bal.fz_min, bal.fz_max,
+        flat(xi0, (NX,)), flat(xi_ref, (N, NX)),
+        flat(stance_schedule.astype(jnp.float32), (N, 4)),
+        n_steps=N, dt=float(dt), state_weights=tuple(state_weights),
+        alpha=float(force_weight), iterations=iterations,
+        interpret=interpret)
+    if Bp == B and len(batch_shape) == 1:
+        return F, sol
+
+    def unflat(a, tail):
+        return a[:B].reshape(batch_shape + tail)
+
+    return unflat(F, (N, NU)), IPMSolution(
+        x=unflat(sol.x, (N * NU,)), z=unflat(sol.z, (N * MC,)),
+        s=unflat(sol.s, (N * MC,)), iterations=sol.iterations,
+        gap=unflat(sol.gap, ()),
+        primal_residual=unflat(sol.primal_residual, ()),
+        dual_residual=unflat(sol.dual_residual, ()),
+        converged=unflat(sol.converged, ()),
+    )

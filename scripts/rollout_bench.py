@@ -32,13 +32,25 @@ def main():
     carry = init_commander_carry((BATCH,), dtype=jnp.float32)
     cmd = jnp.zeros((BATCH, 6), jnp.float32).at[:, 0].set(0.2)
 
-    for backend in ("jnp", "fused"):
+    variants = [
+        ("jnp", dict(qp_backend="jnp"), (STEPS_A, STEPS_B)),
+        ("fused", dict(qp_backend="fused"), (STEPS_A, STEPS_B)),
+        # MPC in the loop (Di Carlo convex MPC as the stance-force
+        # controller): N=8 horizon re-solved every control tick.
+        ("mpc-structured",
+         dict(controller="mpc", mpc_horizon=8, mpc_dt=0.05,
+              mpc_iterations=25, mpc_backend="structured"), (10, 30)),
+        ("mpc-riccati-pallas",
+         dict(controller="mpc", mpc_horizon=8, mpc_dt=0.05,
+              mpc_iterations=25, mpc_backend="riccati-pallas"), (10, 30)),
+    ]
+    for backend, kw, (sa, sb) in variants:
         res = {}
-        for steps in (STEPS_A, STEPS_B):
+        for steps in (sa, sb):
             t0 = time.time()
             out = jax.block_until_ready(rollout(
                 plant, carry, cmd, steps, cfg, qp_iterations=12,
-                qp_polish=False, record=False, qp_backend=backend))
+                qp_polish=False, record=False, **kw))
             tc = time.time() - t0
 
             t0 = time.time()
@@ -46,12 +58,12 @@ def main():
             for _ in range(reps):
                 out = rollout(plant, carry, cmd, steps, cfg,
                               qp_iterations=12, qp_polish=False,
-                              record=False, qp_backend=backend)
+                              record=False, **kw)
             jax.block_until_ready(out)
             res[steps] = (time.time() - t0) / reps
             log(f"{backend} steps={steps}: compile+first {tc:.1f}s, "
                 f"steady {res[steps]*1e3:.1f} ms")
-        per_step = (res[STEPS_B] - res[STEPS_A]) / (STEPS_B - STEPS_A)
+        per_step = (res[sb] - res[sa]) / (sb - sa)
         log(f"{backend}: {per_step*1e3:.2f} ms/step -> "
             f"{BATCH/per_step:,.0f} scenario-ticks/s "
             f"({BATCH/per_step/100:,.0f}x realtime at 100 Hz)")

@@ -72,3 +72,24 @@ def test_riccati_kernel_matches_structured_interpret():
     # f32, loose-tol MPC solvers: ~1e-4-relative objective agreement.
     assert np.median(rel) < 5e-5, rel
     assert max(rel) < 5e-4, rel
+
+
+def test_riccati_kernel_pads_arbitrary_batch():
+    """The wrapper accepts any batch shape (pads to the 1024 tile and
+    strips) — the commander's riccati-pallas backend relies on this."""
+    xi0, ref, yaw, feet_w, x_com, stance = _setup()
+    nb = (3, 37)
+    n = nb[0] * nb[1]
+
+    def cut(a):
+        return a[:n].reshape(nb + a.shape[1:])
+
+    F, sol = solve_mpc_fused(cut(xi0), cut(ref), cut(yaw), cut(feet_w),
+                             cut(x_com), cut(stance), N, DT, CFG,
+                             iterations=30, interpret=True)
+    assert F.shape == nb + (N, 12)
+    assert sol.converged.shape == nb
+    F_full, _ = solve_mpc_fused(xi0, ref, yaw, feet_w, x_com, stance, N, DT,
+                                CFG, iterations=30, interpret=True)
+    np.testing.assert_allclose(np.asarray(F).reshape(n, N, 12),
+                               np.asarray(F_full)[:n], atol=1e-5)

@@ -79,6 +79,30 @@ def test_walk_batched_scenarios():
     np.testing.assert_allclose(x[:, 0], x[:, 1], atol=1e-9)
 
 
+def test_rollout_chunked_matches_single_scan():
+    """Host-side chunking is exact: same compiled tick, same carries."""
+    import jax.numpy as jnp
+
+    from quadruped_control_tpu.config import mit_cheetah_physical_config
+    from quadruped_control_tpu.control.commander import init_commander_carry
+    from quadruped_control_tpu.control.plant import init_plant_state
+    from quadruped_control_tpu.control.rollout import (
+        rollout,
+        rollout_chunked,
+    )
+
+    cfg = mit_cheetah_physical_config()
+    plant = init_plant_state(cfg, (), dtype=jnp.float64)
+    carry = init_commander_carry((), dtype=jnp.float64)
+    cmd = jnp.zeros((6,), jnp.float64)
+    a = rollout(plant, carry, cmd, 45, cfg)
+    b = rollout_chunked(plant, carry, cmd, 45, cfg, chunk=20)
+    np.testing.assert_array_equal(np.asarray(a.trace.x),
+                                  np.asarray(b.trace.x))
+    np.testing.assert_array_equal(np.asarray(a.plant.joints.q),
+                                  np.asarray(b.plant.joints.q))
+
+
 def test_plant_saturates_unphysical_forces():
     """A garbage QP output (huge pulls/pushes) must not NaN the plant: the
     surrogate enforces the contact cone (fz >= 0, |ft| <= mu fz) like
