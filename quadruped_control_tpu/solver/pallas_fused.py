@@ -1013,13 +1013,13 @@ def solve_grf_qp_fused_split(r_masked, b, stance, mu, fz_min, fz_max, *,
 @partial(jax.jit, static_argnames=(
     "s_diag", "w_diag", "swing_relax", "iterations", "polish_sweeps",
     "polish_refine", "tail_divisor", "tail_iterations", "tail_sweeps",
-    "tol", "tau", "rows", "split", "interpret"))
+    "tail_refine", "tol", "tau", "rows", "split", "interpret"))
 def solve_grf_qp_fused_two_phase(
         r_masked, b, stance, mu, fz_min, fz_max, *, s_diag, w_diag,
         swing_relax=SWING_ROW_RELAX, iterations: int = 20,
         polish_sweeps: int = 2, polish_refine: int = _POLISH_REFINE,
-        tail_divisor: int = 8, tail_iterations: int = 28,
-        tail_sweeps: int = _POLISH_SWEEPS_PALLAS,
+        tail_divisor: int = 8, tail_iterations: int = 48,
+        tail_sweeps: int = 32, tail_refine: int = 4,
         tol: float = 3e-5, tau: float = 0.995, rows: int = SUB,
         split: bool = False,
         interpret: bool = False) -> IPMSolution:
@@ -1033,6 +1033,15 @@ def solve_grf_qp_fused_two_phase(
     again with a LONG schedule, and scattered back. Average cost approaches
     the phase-1 schedule while the tail gets a longer schedule than the
     single-phase default — throughput AND convergence both improve.
+
+    Tail schedule defaults (it=48, sweeps=32, refine=4) come from
+    scripts/tail_knobs.py on harvested hard instances (degenerate
+    4-stance QPs: rank-6 A^T S A + 1e-5 W, condition ~1e6): ACTIVE-SET
+    SWEEPS are the decisive knob (8 -> 16 sweeps certifies 74% of the old
+    failures, saturating ~84% by sweeps=32/it=48), and the 1/8-size tail is
+    latency-hidden — measured conv 0.9943 -> 0.9985 at UNCHANGED marginal
+    ms/batch (v5e, batch 32k). The remaining ~0.15% saturate: they sit at
+    f32's stationarity floor for this conditioning.
 
     split=True runs phase 1 in split form (barrier at rows=32, polish-only
     at ``rows``) — see solve_grf_qp_fused_split.
@@ -1072,8 +1081,9 @@ def solve_grf_qp_fused_two_phase(
         take(r_masked), take(b), take(stance), take(mu_b), take(fmin_b),
         take(fmax_b), s_diag=s_diag, w_diag=w_diag,
         swing_relax=swing_relax, iterations=tail_iterations, polish=True,
-        polish_sweeps=tail_sweeps, polish_refine=polish_refine, tol=tol,
-        tau=tau, rows=rows, interpret=interpret)
+        polish_sweeps=tail_sweeps,
+        polish_refine=polish_refine if tail_refine is None else tail_refine,
+        tol=tol, tau=tau, rows=rows, interpret=interpret)
 
     # Scatter the re-solve back wherever it improved the flag.
     better = sol2.converged & ~sol1.converged[idx]
@@ -1120,8 +1130,8 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                            polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
                            polish_refine: int = _POLISH_REFINE,
                            rows: int = SUB, two_phase: bool = False,
-                           tail_divisor: int = 8, tail_iterations: int = 28,
-                           tail_sweeps: int = _POLISH_SWEEPS_PALLAS,
+                           tail_divisor: int = 8, tail_iterations: int = 48,
+                           tail_sweeps: int = 32, tail_refine: int = 4,
                            split: bool = False,
                            interpret: bool = False) -> IPMSolution:
     """End-to-end fused balance-controller solve: the XLA side computes only
@@ -1180,7 +1190,7 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
         sol = solve_grf_qp_fused_two_phase(
             *args, iterations=iterations, tail_divisor=tail_divisor,
             tail_iterations=tail_iterations, tail_sweeps=tail_sweeps,
-            split=split, **common)
+            tail_refine=tail_refine, split=split, **common)
     else:
         sol = solve_grf_qp_fused(
             *args, iterations=iterations, polish=polish, **common)

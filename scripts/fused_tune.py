@@ -27,29 +27,35 @@ def main():
     log(f"device: {jax.devices()[0]}")
 
     configs = [
-        # (rows, it, sweeps, refine, polish, two, split, tail_div, tail_sw)
-        (16, 20, 2, 4, True, True, True, 8, 8),    # champion (2.29M)
-        (16, 20, 2, 4, True, True, True, 16, 8),   # smaller tail
-        (16, 20, 2, 3, True, True, True, 8, 8),    # fewer refine solves
-        (16, 20, 3, 4, True, True, True, 16, 8),   # 3 sweeps + small tail
-        (16, 18, 2, 4, True, True, True, 16, 10),
+        # (rows, it, sweeps, refine, two, split, tdiv, tail_it, tsw, trf)
+        # Strong tail: the degenerate 4-stance stragglers need ~32 active-set
+        # sweeps (scripts/tail_knobs.py: 84% of the old-tail failures certify
+        # at it=48/sw=32/rf=4; sweeps are THE knob, saturating ~sw=24-32).
+        # Measured: conv 0.9943 -> 0.9985 at UNCHANGED marginal ms (the
+        # 1/8-size tail is latency-hidden). Push further:
+        (16, 20, 2, 4, True, True, 8, 48, 32, 4),     # new champion
+        (16, 20, 2, 4, True, True, 8, 64, 32, 4),
+        (16, 20, 2, 4, True, True, 8, 48, 32, 6),
+        (16, 20, 2, 4, True, True, 8, 64, 40, 6),
     ]
 
-    for rows, its, sweeps, refine, polish, two, split, tdiv, tsw in configs:
+    for rows, its, sweeps, refine, two, split, tdiv, tit, tsw, trf in configs:
         name = (f"rows={rows} it={its} sw={sweeps} rf={refine} "
-                f"two={two} split={split} tdiv={tdiv} tsw={tsw}")
+                f"two={two} split={split} tdiv={tdiv} tail_it={tit} "
+                f"tsw={tsw} trf={trf}")
         try:
             @jax.jit
             def pipeline(key, rows=rows, its=its, sweeps=sweeps,
-                         refine=refine, polish=polish, two=two, split=split,
-                         tdiv=tdiv, tsw=tsw):
+                         refine=refine, two=two, split=split,
+                         tdiv=tdiv, tit=tit, tsw=tsw, trf=trf):
                 s = grf_scenarios(key, BATCH, cfg, dtype=jnp.float32)
                 sol = solve_balance_qp_fused(
                     s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d,
                     s.feet, s.stance, cfg.balance, iterations=its,
-                    polish=polish, polish_sweeps=max(sweeps, 1),
+                    polish=True, polish_sweeps=max(sweeps, 1),
                     polish_refine=max(refine, 1), rows=rows, two_phase=two,
-                    split=split, tail_divisor=tdiv, tail_sweeps=tsw)
+                    split=split, tail_divisor=tdiv, tail_iterations=tit,
+                    tail_sweeps=tsw, tail_refine=trf)
                 return sol.converged
 
             t0 = time.time()
