@@ -40,7 +40,7 @@ from quadruped_control_tpu.ops.trajectory import (
     plan_swing_trajectories,
     reference_foot_states,
 )
-from quadruped_control_tpu.solver.ipm import solve_qp_ipm
+from quadruped_control_tpu.solver.ipm import IPMSolution, solve_qp_ipm
 from quadruped_control_tpu.types import (
     ComState,
     Gait,
@@ -93,7 +93,7 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    qp_warm_start: bool = False, qp_backend: str = "jnp",
                    controller: str = "balance", mpc_horizon: int = 8,
                    mpc_dt: float = 0.05, mpc_iterations: int = 25,
-                   mpc_backend: str = "structured"):
+                   mpc_backend: str = "structured", forces_override=None):
     """One control tick. All arguments broadcast over leading batch dims.
 
     Args:
@@ -118,6 +118,11 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         "structured" (O(N) Riccati IPM, any batch), or "riccati-pallas"
         (mpc/pallas_riccati single-kernel path; batch must be a multiple
         of 1024).
+      forces_override: optional (..., 12) world-frame GRFs — skip the
+        stance-force solve entirely and apply these (zero-order hold for
+        MPC decimation: the reference-class MPC runs at 25-50 Hz while the
+        loop ticks at 100-300 Hz; rollout_mpc_decimated uses this). The
+        swing pipeline (footholds, trajectories, IK, PD) still runs.
     Returns:
       (CommanderOutput, CommanderCarry).
     """
@@ -200,7 +205,17 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
 
     # 9. Stance-force controller: single-step balance QP (the reference's
     #    hot path, commander_node.cpp:507-508) or receding-horizon MPC.
-    if controller == "mpc":
+    if forces_override is not None:
+        sol = IPMSolution(
+            x=jnp.broadcast_to(forces_override,
+                               com.x.shape[:-1] + (12,)).astype(dtype),
+            z=carry.qp_z, s=carry.qp_s, iterations=jnp.asarray(0),
+            gap=jnp.zeros(com.x.shape[:-1], dtype),
+            primal_residual=jnp.zeros(com.x.shape[:-1], dtype),
+            dual_residual=jnp.zeros(com.x.shape[:-1], dtype),
+            converged=jnp.ones(com.x.shape[:-1], bool),
+        )
+    elif controller == "mpc":
         from quadruped_control_tpu.mpc.horizon import (
             make_reference_trajectory,
             solve_mpc,

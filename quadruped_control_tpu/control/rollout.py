@@ -107,6 +107,74 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
     return RolloutResult(plant=plant_f, carry=carry_f, trace=trace)
 
 
+@partial(jax.jit, static_argnames=("steps", "cfg", "mpc_every",
+                                   "mpc_horizon", "mpc_dt", "mpc_iterations",
+                                   "mpc_backend", "record"))
+def rollout_mpc_decimated(plant: PlantState, carry: CommanderCarry,
+                          cmd_twist, steps: int, cfg: ControlConfig,
+                          mpc_every: int = 10, mpc_horizon: int = 8,
+                          mpc_dt: float = 0.05, mpc_iterations: int = 25,
+                          mpc_backend: str = "structured",
+                          record: bool = True) -> RolloutResult:
+    """Closed loop with the MPC re-solved every ``mpc_every`` ticks.
+
+    The reference-class convex MPC (Di Carlo et al. 2018) runs at 25-50 Hz
+    while the joint loop ticks at 100-300 Hz and zero-order-holds the first
+    horizon force between solves. Structured as scan-over-groups: the outer
+    body solves the MPC once (full commander tick), then ``mpc_every - 1``
+    held ticks re-run only the swing pipeline + torque mapping with the
+    held f_0 (``forces_override``) — no per-tick branching, and the solve
+    cost drops by ~mpc_every.
+
+    ``steps`` must be a multiple of ``mpc_every``. Telemetry is recorded at
+    the group level (one entry per MPC solve, post-group state) to keep the
+    trace layout identical to ``rollout``'s per-step one, time-decimated.
+    """
+    assert steps % mpc_every == 0, (steps, mpc_every)
+    dt = 1.0 / cfg.frequency
+    mpc_kw = dict(controller="mpc", mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
+                  mpc_iterations=mpc_iterations, mpc_backend=mpc_backend)
+
+    def tick(plant_s, carry_s, **kw):
+        out, carry_next = commander_step(
+            plant_s.com, plant_s.joints, carry_s, cmd_twist, dt, cfg, **kw)
+        plant_next = plant_step(
+            plant_s, out.forces_world, out.gait.in_stance,
+            out.foot_refs_world, dt, cfg,
+        )
+        return plant_next, carry_next, out
+
+    def group(state, _):
+        plant_s, carry_s = state
+        plant_s, carry_s, out = tick(plant_s, carry_s, **mpc_kw)
+        f_hold = out.forces_world
+
+        def held(_, st):
+            plant_h, carry_h = st
+            plant_h, carry_h, _ = tick(plant_h, carry_h,
+                                       forces_override=f_hold)
+            return plant_h, carry_h
+
+        plant_s, carry_s = lax.fori_loop(0, mpc_every - 1, held,
+                                         (plant_s, carry_s))
+        if record:
+            trace = RolloutTrace(
+                x=plant_s.com.x,
+                xdot=plant_s.com.xdot,
+                standing=carry_s.standing,
+                in_stance=out.gait.in_stance,
+                qp_converged=out.qp_converged,
+                torque_max=jnp.max(jnp.abs(out.torques), axis=(-2, -1)),
+            )
+        else:
+            trace = 0
+        return (plant_s, carry_s), trace
+
+    (plant_f, carry_f), trace = lax.scan(group, (plant, carry), None,
+                                         length=steps // mpc_every)
+    return RolloutResult(plant=plant_f, carry=carry_f, trace=trace)
+
+
 def rollout_chunked(plant: PlantState, carry: CommanderCarry, cmd_twist,
                     steps: int, cfg: ControlConfig, chunk: int = 50,
                     **kwargs) -> RolloutResult:

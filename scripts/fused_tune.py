@@ -32,11 +32,14 @@ def main():
         # sweeps (scripts/tail_knobs.py: 84% of the old-tail failures certify
         # at it=48/sw=32/rf=4; sweeps are THE knob, saturating ~sw=24-32).
         # Measured: conv 0.9943 -> 0.9985 at UNCHANGED marginal ms (the
-        # 1/8-size tail is latency-hidden). Push further:
-        (16, 20, 2, 4, True, True, 8, 48, 32, 4),     # new champion
-        (16, 20, 2, 4, True, True, 8, 64, 32, 4),
-        (16, 20, 2, 4, True, True, 8, 48, 32, 6),
-        (16, 20, 2, 4, True, True, 8, 64, 40, 6),
+        # 1/8-size tail is latency-hidden); deeper tails saturate ~0.9987.
+        # Now shave PHASE 1: with the strong tail catching stragglers, how
+        # few barrier iterations / polish sweeps does the bulk need?
+        (16, 20, 2, 4, True, True, 8, 48, 32, 4),     # champion
+        (16, 16, 2, 4, True, True, 8, 48, 32, 4),
+        (16, 14, 2, 4, True, True, 8, 48, 32, 4),
+        (16, 12, 2, 4, True, True, 8, 48, 32, 4),
+        (16, 16, 1, 4, True, True, 8, 48, 32, 4),
     ]
 
     for rows, its, sweeps, refine, two, split, tdiv, tit, tsw, trf in configs:

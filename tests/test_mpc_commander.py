@@ -57,6 +57,37 @@ def test_mpc_walk_tracks_command():
     assert 0.7 < stance_frac < 0.95
 
 
+def test_mpc_decimated_stand_and_walk():
+    """MPC at 30 Hz (re-solved every 10th of the 300 Hz ticks, f_0 held in
+    between — the Cheetah-3 operating point) must still stand up and track
+    the commanded twist."""
+    import jax.numpy as jnp
+
+    from quadruped_control_tpu.control.commander import init_commander_carry
+    from quadruped_control_tpu.control.plant import init_plant_state
+    from quadruped_control_tpu.control.rollout import rollout_mpc_decimated
+
+    cfg = mit_cheetah_physical_config()
+    plant = init_plant_state(cfg, (), dtype=jnp.float64)
+    carry = init_commander_carry((), dtype=jnp.float64)
+    cmd0 = jnp.zeros((6,), jnp.float64)
+    kw = dict(mpc_every=10, mpc_horizon=5, mpc_dt=0.04, mpc_iterations=18,
+              mpc_backend="structured")
+    stand = rollout_mpc_decimated(plant, carry, cmd0, 450, cfg, **kw)
+    z = np.asarray(stand.trace.x[..., 2])
+    assert abs(z[-1] - 0.26) < 0.012, z[-1]
+    assert np.all(np.isfinite(z))
+
+    cmd = cmd0.at[0].set(0.2)
+    walk = rollout_mpc_decimated(stand.plant, stand.carry, cmd, 450, cfg,
+                                 **kw)
+    x = np.asarray(walk.trace.x)
+    v_avg = (x[-1, 0] - x[0, 0]) / 1.5
+    assert v_avg > 0.1, v_avg
+    assert np.all(np.abs(x[:, 2] - 0.26) < 0.04)
+    assert np.all(np.isfinite(x))
+
+
 def test_mpc_condensed_backend_agrees():
     """Condensed and structured backends solve the same horizon QP: a short
     stand-up must produce matching trajectories."""

@@ -203,3 +203,27 @@ def test_structured_warm_start_receding_horizon():
 
     rel = abs(obj(F_w) - obj(ref_sol.x)) / (1 + abs(obj(ref_sol.x)))
     assert rel < 1e-7, rel
+
+
+def test_structured_mpc_is_differentiable():
+    """The O(N) Riccati IPM is pure jnp with static trip counts, so reverse
+    AD flows through the whole MPC solve (policy-gradient / morphology
+    tuning through the controller). Checked against central differences."""
+    import jax
+
+    N = 4
+    xi0, ref, feet_w, x_com, stance = setup(N)
+    yaw = jnp.asarray(0.0, xi0.dtype)
+
+    def loss(xi0_):
+        F, _ = ms.solve_mpc_structured(xi0_, ref, yaw, feet_w, x_com,
+                                       stance, N, DT, CFG, iterations=25)
+        return jnp.sum(F[0] ** 2)
+
+    g = jax.grad(loss)(xi0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    for i in (5, 9):
+        e = jnp.zeros_like(xi0).at[i].set(1e-6)
+        fd = (loss(xi0 + e) - loss(xi0 - e)) / 2e-6
+        rel = abs(float(fd - g[i])) / (1.0 + abs(float(fd)))
+        assert rel < 1e-6, (i, float(fd), float(g[i]))
