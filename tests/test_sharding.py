@@ -47,3 +47,34 @@ def test_sharded_solve_with_randomized_params():
     x, conv, frac = solve_scenarios_sharded(shard_scenarios(s, mesh), cfg)
     assert np.all(np.isfinite(np.asarray(x)))
     assert float(frac) > 0.9
+
+
+def test_sharded_mpc_rollout_matches_single_device():
+    """The MPC-in-the-loop closed loop shards over the scenario axis like
+    everything else (pure data parallelism, SURVEY §2): a sharded decimated
+    rollout must equal the unsharded one bit-for-bit-ish."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from quadruped_control_tpu.config import mit_cheetah_physical_config
+    from quadruped_control_tpu.control.commander import init_commander_carry
+    from quadruped_control_tpu.control.plant import init_plant_state
+    from quadruped_control_tpu.control.rollout import rollout_mpc_decimated
+
+    cfg = mit_cheetah_physical_config()
+    B = 16
+    plant = init_plant_state(cfg, (B,), dtype=jnp.float64)
+    carry = init_commander_carry((B,), dtype=jnp.float64)
+    cmd = jnp.zeros((B, 6), jnp.float64).at[:, 0].set(0.1)
+    kw = dict(mpc_every=5, mpc_horizon=4, mpc_dt=0.04, mpc_iterations=12,
+              mpc_backend="structured")
+
+    ref = rollout_mpc_decimated(plant, carry, cmd, 30, cfg, **kw)
+
+    mesh = scenario_mesh()
+    shard = NamedSharding(mesh, P("scenario"))
+    put = lambda t: jax.tree.map(lambda a: jax.device_put(a, shard), t)
+    sh = rollout_mpc_decimated(put(plant), put(carry), put(cmd), 30, cfg,
+                               **kw)
+    assert len(sh.plant.com.x.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sh.trace.x),
+                               np.asarray(ref.trace.x), atol=1e-9)
