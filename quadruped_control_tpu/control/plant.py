@@ -108,14 +108,24 @@ def plant_step(state: PlantState, forces_world, stance_mask, swing_foot_refs,
     r = state.feet_world - com.x[..., None, :]
     torque = jnp.sum(jnp.cross(r, f_legs), axis=-2)
     Iw = (com.R * Ib_diag[..., None, :]) @ jnp.swapaxes(com.R, -1, -2)
-    Iw_w = (Iw @ com.w[..., None])[..., 0]
-    # Small, well-conditioned 3x3: closed-form solve via explicit inverse.
-    wdot = jnp.linalg.solve(Iw, (torque - jnp.cross(com.w, Iw_w))[..., None])[..., 0]
+    # Angular MOMENTUM integration: dL/dt = torque (world frame), then
+    # w = Iw^-1 L. Explicit Euler on wdot = Iw^-1(tau - w x Iw w) is
+    # unstable in the gyroscopic term once the body tumbles (|w| grows
+    # ~double-exponentially and so3_exp NaNs); the momentum form conserves
+    # L exactly under zero torque, like the true rigid-body flow.
+    L = (Iw @ com.w[..., None])[..., 0]
+    L_new = L + dt * torque
+    w_new = jnp.linalg.solve(Iw, L_new[..., None])[..., 0]
 
-    # Semi-implicit Euler: velocities first, then pose.
+    # Semi-implicit Euler: velocities first, then pose. Saturation bounds
+    # (the surrogate analogue of Drake's contact/joint-limit dissipation,
+    # physics.yaml): a fallen, tumbling body stays FINITE so batched scans
+    # never poison neighboring scenarios through a NaN reduction.
     xdot_new = com.xdot + dt * xddot
-    w_new = com.w + dt * wdot
+    xdot_new = jnp.clip(xdot_new, -50.0, 50.0)
+    w_new = jnp.clip(w_new, -100.0, 100.0)
     x_new = com.x + dt * xdot_new
+    x_new = x_new.at[..., 2].set(jnp.clip(x_new[..., 2], -1.0, 10.0))
     R_new = so3_exp(w_new * dt) @ com.R
 
     # Feet: stance pinned, swing tracks the reference trajectory.

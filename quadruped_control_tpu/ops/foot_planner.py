@@ -50,7 +50,11 @@ def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
 
     p_linear = (t_stance / 2.0) * xdot + cfg.k * (xdot - xdot_d)
     p_tangent = (t_stance / 2.0) * tang_vel
-    p_lip = 0.5 * jnp.sqrt(x[..., 2:3] / cfg.gravity) * xdot
+    # z clamped >= 0: the reference would sqrt a negative height if the
+    # base ever fell below ground (foot_planner.cpp:95 has no guard — a
+    # crashed robot is out of its envelope); batched scans here must stay
+    # FINITE so one fallen scenario cannot NaN-poison a whole sweep.
+    p_lip = 0.5 * jnp.sqrt(jnp.maximum(x[..., 2:3], 0.0) / cfg.gravity) * xdot
 
     foothold = p_thigh + (p_linear + p_lip)[..., None, :] + p_tangent
     return foothold.at[..., 2].set(0.0)

@@ -127,3 +127,17 @@ def test_plant_saturates_unphysical_forces():
     assert np.all(np.isfinite(x))
     # Bounded upward acceleration: fz <= 4 * 2 * fz_max.
     assert np.all(np.abs(x) < 10.0)
+
+
+def test_fallen_robot_stays_finite():
+    """Beyond the stable envelope the robot falls — and the whole scan must
+    stay FINITE (momentum-form angular integration + saturation bounds +
+    the planner's sqrt(z) guard): one crashed scenario must never NaN-poison
+    a batched sweep."""
+    res = walk_rollout(mit_cheetah_physical_config(), vx=0.5, seconds=3.0,
+                       dtype=jnp.float64)
+    assert np.all(np.isfinite(np.asarray(res.trace.x)))
+    assert np.all(np.isfinite(np.asarray(res.trace.torque_max)))
+    res32 = walk_rollout(mit_cheetah_physical_config(), vx=0.5, seconds=3.0,
+                         dtype=jnp.float32)
+    assert np.all(np.isfinite(np.asarray(res32.trace.x)))
