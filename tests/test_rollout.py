@@ -141,3 +141,38 @@ def test_fallen_robot_stays_finite():
     res32 = walk_rollout(mit_cheetah_physical_config(), vx=0.5, seconds=3.0,
                          dtype=jnp.float32)
     assert np.all(np.isfinite(np.asarray(res32.trace.x)))
+
+
+def test_walk_sideways_tracks_reference_max():
+    """The reference's published sideways max is 0.1 m/s (README.md:63)."""
+    res = walk_rollout(mit_cheetah_physical_config(), vx=0.0, vy=0.1,
+                       seconds=3.0, dtype=jnp.float64)
+    x = np.asarray(res.trace.x)
+    assert x[:, 2].min() > 0.2
+    vy = (x[-1, 1] - x[300, 1]) / ((x.shape[0] - 300) / 300.0)
+    assert abs(vy - 0.1) < 0.03, vy
+    assert abs(x[-1, 0] - x[300, 0]) < 0.05  # no forward drift
+
+
+def test_walk_yaw_tracks_reference_max():
+    """The reference's published yaw max is 0.05 rad/s (README.md:63)."""
+    from quadruped_control_tpu.math.rotations import matrix_to_rpy
+
+    res = walk_rollout(mit_cheetah_physical_config(), vx=0.0, wz=0.05,
+                       seconds=3.0, dtype=jnp.float64)
+    x = np.asarray(res.trace.x)
+    assert x[:, 2].min() > 0.2
+    yaw_end = float(matrix_to_rpy(res.plant.com.R)[2])
+    # ~2.75 s of active gait at 0.05 rad/s.
+    assert 0.09 < yaw_end < 0.18, yaw_end
+    assert np.abs(x[-1, :2] - x[300, :2]).max() < 0.05  # turns in place
+
+
+def test_walk_backward_tracks_command():
+    """Gait-transition demo: 0.2 m/s backward (README.md:57)."""
+    res = walk_rollout(mit_cheetah_physical_config(), vx=-0.2,
+                       seconds=3.0, dtype=jnp.float64)
+    x = np.asarray(res.trace.x)
+    assert x[:, 2].min() > 0.2
+    v = (x[-1, 0] - x[300, 0]) / ((x.shape[0] - 300) / 300.0)
+    assert abs(v + 0.2) < 0.04, v
