@@ -469,3 +469,62 @@ def qp_objective(Q, c, x):
     """1/2 x^T Q x + c^T x (batched)."""
     Qx = jnp.einsum("...ij,...j->...i", Q, x)
     return 0.5 * jnp.sum(x * Qx, axis=-1) + jnp.sum(c * x, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("prox_steps", "iterations", "polish",
+                                   "unrolled_linalg"))
+def solve_qp_prox(Q, c, G, h, x0=None, rho_rel: float = 1e-2,
+                  prox_steps: int = 4, iterations: int = 30,
+                  tol: float = 3e-5, polish: bool = True,
+                  unrolled_linalg: bool = True) -> IPMSolution:
+    """Proximal-point restart for ill-conditioned QPs.
+
+    Solves x_{k+1} = argmin 1/2 x^T (Q + rho I) x + (c - rho x_k)^T x
+    s.t. Gx <= h for ``prox_steps`` rounds (ProxQP-style). Each subproblem's
+    conditioning improves by ~rho/lambda_min(Q), so float32 solves it
+    cleanly, and the ORIGINAL problem's dual residual at round k is exactly
+    rho (x_{k-1} - x_k) — it contracts as the prox iterates converge.
+
+    Built for the GRF family's certification tail: the degenerate 4-stance
+    instances (rank-6 A^T S A + 1e-5 W, condition ~1e6) sit at f32's
+    stationarity floor for direct solves; measured on the harvested hard
+    set (scripts/tail_prox.py, TPU f32), prox rho_rel=1e-2 x4 certifies
+    ~80% of them vs ~30% for a direct 60-iteration solve, objective error
+    p50 ~2e-8.
+
+    Args:
+      x0: optional (..., n) warm point (e.g. the failed solve's iterate).
+      rho_rel: rho = rho_rel * mean(diag(Q)) per instance.
+      tol: certification tolerance, applied to the ORIGINAL KKT.
+    Returns:
+      IPMSolution whose ``converged`` certifies against the ORIGINAL
+      (Q, c) — not the proximal subproblem.
+    """
+    n = Q.shape[-1]
+    m = G.shape[-2]
+    diag = jnp.einsum("...ii->...i", Q)
+    rho = rho_rel * diag.mean(-1)[..., None]
+    Qp = Q + rho[..., None] * jnp.eye(n, dtype=Q.dtype)
+    xk = jnp.zeros_like(c) if x0 is None else x0
+
+    sol = None
+    for _ in range(prox_steps):
+        sol = solve_qp_ipm(Qp, c - rho * xk, G, h, iterations=iterations,
+                           polish=polish, tol=tol,
+                           unrolled_linalg=unrolled_linalg)
+        xk = sol.x
+
+    # Certify against the ORIGINAL problem (solve_qp_ipm's criterion).
+    pr = jnp.abs(
+        jnp.einsum("...ij,...j->...i", G, xk) + sol.s - h).max(-1)
+    dr = jnp.abs(
+        jnp.einsum("...ij,...j->...i", Q, xk) + c
+        + jnp.einsum("...ij,...i->...j", G, sol.z)).max(-1)
+    gap = jnp.abs(jnp.einsum("...i,...i->...", sol.s, sol.z)) / m
+    scale = 1.0 + jnp.abs(c).max(-1)
+    hmax = 1.0 + jnp.abs(h).max(-1)
+    converged = (pr < tol * hmax) & (dr < tol * scale) & (gap < tol * scale)
+    return IPMSolution(x=xk, z=sol.z, s=sol.s,
+                       iterations=jnp.asarray(prox_steps * iterations),
+                       gap=gap, primal_residual=pr, dual_residual=dr,
+                       converged=converged)

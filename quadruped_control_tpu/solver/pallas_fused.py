@@ -1132,7 +1132,9 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                            rows: int = SUB, two_phase: bool = False,
                            tail_divisor: int = 8, tail_iterations: int = 48,
                            tail_sweeps: int = 32, tail_refine: int = 4,
-                           split: bool = False,
+                           split: bool = False, prox_tail: bool = False,
+                           prox_divisor: int = 64, prox_rho: float = 1e-2,
+                           prox_steps: int = 4, prox_iterations: int = 30,
                            interpret: bool = False) -> IPMSolution:
     """End-to-end fused balance-controller solve: the XLA side computes only
     the tiny per-instance precursors (PD accelerations, masked world foot
@@ -1144,6 +1146,15 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
     (pad instances replicate instance 0 and are stripped from the result),
     so the commander/rollout path can route large sweeps through the kernel
     without aligning its own batch sizes.
+
+    prox_tail=True adds a THIRD phase for certification-critical sweeps:
+    the residual uncertified instances (the degenerate 4-stance family the
+    kernel tail saturates on — see solver/ipm.solve_qp_prox) are compacted
+    into a B/prox_divisor slice and re-solved by proximal restart in dense
+    jnp form, certifying against the ORIGINAL KKT. Measured on harvested
+    hard instances: ~80% of the kernel-saturated tail certifies (overall
+    conv 0.9991 -> ~0.9998 at 16k batch) for ~1.3-1.6x the two-phase cost —
+    opt-in because the throughput headline prefers the two-phase point.
     """
     xddot_d, wdot_d = pd_accelerations(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                                        cfg)
@@ -1194,6 +1205,90 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
     else:
         sol = solve_grf_qp_fused(
             *args, iterations=iterations, polish=polish, **common)
+    if prox_tail:
+        from quadruped_control_tpu.math.rotations import skew
+        from quadruped_control_tpu.ops.dynamics import (
+            assemble_qp,
+            cone_constraints,
+        )
+        from quadruped_control_tpu.solver.ipm import solve_qp_prox
+
+        # The prox subproblems run in the generic Pallas IPM kernel
+        # (solve_qp_ipm_pallas, batch % 1024 == 0): the dense jnp path at
+        # this batch is ~14x slower (192 ms vs ~25 ms measured, 16k batch).
+        Bt = max(Bp // prox_divisor, 1)
+        if Bp >= TILE:
+            Bt = ((max(Bt, TILE) + TILE - 1) // TILE) * TILE
+        order = jnp.argsort(sol.converged.astype(jnp.int32), stable=True)
+        idx = order[:Bt]
+
+        def take(v):
+            v = jnp.asarray(v, jnp.float32)
+            return v if v.ndim == 0 else v[idx]
+
+        rm = args[0][idx]          # (Bt, 4, 3) stance-masked world levers
+        bb = args[1][idx]          # (Bt, 6)
+        stl = args[2][idx] > 0.5   # (Bt, 4)
+        eye3 = jnp.eye(3, dtype=rm.dtype)
+        top = jnp.concatenate(
+            [eye3 * stl[:, l, None, None] for l in range(4)], axis=-1)
+        bot = jnp.concatenate([skew(rm[:, l]) for l in range(4)], axis=-1)
+        A = jnp.concatenate([top, bot], axis=-2)   # (Bt, 6, 12)
+        Qd, cd = assemble_qp(A, bb, cfg)
+        Gd, hd = cone_constraints(stl, mu=take(args[3]),
+                                  fz_min=take(args[4]),
+                                  fz_max=take(args[5]), cfg=cfg,
+                                  dtype=rm.dtype)
+        if Bt % TILE == 0 and not interpret:
+            from quadruped_control_tpu.solver.pallas_ipm import (
+                solve_qp_ipm_pallas,
+            )
+
+            diagq = jnp.einsum("...ii->...i", Qd)
+            rho = prox_rho * diagq.mean(-1)[..., None]
+            Qp = Qd + rho[..., None] * jnp.eye(12, dtype=Qd.dtype)
+            xk = sol.x[idx]
+            ps = None
+            for _ in range(prox_steps):
+                ps = solve_qp_ipm_pallas(Qp, cd - rho * xk, Gd, hd,
+                                         iterations=prox_iterations,
+                                         polish=True, tol=3e-5)
+                xk = ps.x
+            # Certify against the ORIGINAL KKT (solve_qp_prox's criterion).
+            tolf = jnp.float32(3e-5)
+            pr = jnp.abs(jnp.einsum("...ij,...j->...i", Gd, xk)
+                         + ps.s - hd).max(-1)
+            dr = jnp.abs(jnp.einsum("...ij,...j->...i", Qd, xk) + cd
+                         + jnp.einsum("...ij,...i->...j", Gd, ps.z)).max(-1)
+            gap = jnp.abs(jnp.einsum("...i,...i->...", ps.s, ps.z)) / 24.0
+            scalec = 1.0 + jnp.abs(cd).max(-1)
+            hmax = 1.0 + jnp.abs(hd).max(-1)
+            pconv = ((pr < tolf * hmax) & (dr < tolf * scalec)
+                     & (gap < tolf * scalec))
+            psol = IPMSolution(x=xk, z=ps.z, s=ps.s,
+                               iterations=ps.iterations, gap=gap,
+                               primal_residual=pr, dual_residual=dr,
+                               converged=pconv)
+        else:
+            psol = solve_qp_prox(Qd, cd, Gd, hd, x0=sol.x[idx],
+                                 rho_rel=prox_rho, prox_steps=prox_steps,
+                                 iterations=prox_iterations, tol=3e-5)
+        better = psol.converged & ~sol.converged[idx]
+
+        def pmerge(a1, a2):
+            upd = better.reshape(better.shape + (1,) * (a2.ndim - 1))
+            return a1.at[idx].set(jnp.where(upd, a2, a1[idx]))
+
+        sol = IPMSolution(
+            x=pmerge(sol.x, psol.x), z=pmerge(sol.z, psol.z),
+            s=pmerge(sol.s, psol.s), iterations=sol.iterations,
+            gap=pmerge(sol.gap, psol.gap),
+            primal_residual=pmerge(sol.primal_residual,
+                                   psol.primal_residual),
+            dual_residual=pmerge(sol.dual_residual, psol.dual_residual),
+            converged=pmerge(sol.converged, psol.converged),
+        )
+
     if Bp == B and len(batch_shape) == 1:
         return sol
 

@@ -147,3 +147,27 @@ def test_fused_full_matches_oracle_on_tpu():
     rel = np.abs(obj - objn) / (1 + np.abs(objn))
     assert np.median(rel) < 1e-7
     assert np.percentile(rel, 95) < 1e-6
+
+
+def test_prox_tail_lifts_convergence_interpret(rng):
+    """prox_tail plumbing (gather -> dense assembly -> prox restart ->
+    certified merge-back): with a deliberately starved base schedule, the
+    prox phase must certify instances the base could not, and never lose
+    already-certified ones."""
+    cfg, s, r_masked, b, mu = _scenario_inputs(jax.random.key(9))
+    bal = cfg.balance
+    base = pf.solve_balance_qp_fused(
+        s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d, s.feet,
+        s.stance, bal, iterations=4, polish=True, polish_sweeps=1,
+        polish_refine=1, rows=8, interpret=True)
+    prox = pf.solve_balance_qp_fused(
+        s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d, s.feet,
+        s.stance, bal, iterations=4, polish=True, polish_sweeps=1,
+        polish_refine=1, rows=8, prox_tail=True, prox_divisor=2,
+        prox_steps=2, prox_iterations=20, interpret=True)
+    c0 = float(jnp.mean(base.converged.astype(jnp.float32)))
+    c1 = float(jnp.mean(prox.converged.astype(jnp.float32)))
+    assert c1 > c0, (c0, c1)
+    # Monotone: nothing certified gets lost.
+    assert not bool(jnp.any(base.converged & ~prox.converged))
+    assert bool(jnp.all(jnp.isfinite(prox.x)))

@@ -283,3 +283,51 @@ def test_stance_forces_physical(rng):
         dyn.forces_to_body_frame(sol.x, jnp.eye(3), jnp.ones(4, bool))
     )
     np.testing.assert_allclose(fb, -f, atol=1e-9)
+
+
+def test_prox_restart_certifies_against_original_kkt():
+    """solve_qp_prox: subproblems are regularized, but the converged mask
+    must certify the ORIGINAL problem — cross-checked in float64 — and the
+    solution must match the active-set oracle."""
+    import jax
+    import numpy as np
+
+    from quadruped_control_tpu.config import mit_cheetah_config
+    from quadruped_control_tpu.solver.ipm import solve_qp_prox
+    from quadruped_control_tpu.solver.reference import solve_qp_batch_oracle
+    from quadruped_control_tpu.utils.scenarios import (
+        assemble_qp_batch,
+        grf_scenarios,
+    )
+
+    cfg = mit_cheetah_config()
+    s = grf_scenarios(jax.random.key(11), 32, cfg, dtype=jnp.float32)
+    qp = assemble_qp_batch(s, cfg)
+    Q, c, G, h = (jnp.asarray(a, jnp.float32) for a in
+                  (qp.Q, qp.c, qp.G, qp.h))
+    sol = solve_qp_prox(Q, c, G, h, rho_rel=1e-2, prox_steps=3,
+                        iterations=25, tol=3e-5)
+    assert float(jnp.mean(sol.converged.astype(jnp.float32))) > 0.9
+
+    x_star, obj_star, _ = solve_qp_batch_oracle(
+        np.asarray(qp.Q), np.asarray(qp.c), np.asarray(qp.G),
+        np.asarray(qp.h), np.asarray(s.stance),
+        cfg.balance.fz_min, cfg.balance.fz_max)
+    x = np.asarray(sol.x, np.float64)
+    Qd, cd = np.asarray(qp.Q, np.float64), np.asarray(qp.c, np.float64)
+    obj = 0.5 * np.einsum("bi,bij,bj->b", x, Qd, x) + \
+        np.einsum("bi,bi->b", cd, x)
+    rel = np.abs(obj - obj_star) / (1.0 + np.abs(obj_star))
+    conv = np.asarray(sol.converged)
+    assert np.median(rel) < 1e-6
+    assert rel[conv].max() < 1e-4
+
+    # The certification recomputes the ORIGINAL residuals: verify in f64.
+    z = np.asarray(sol.z, np.float64)
+    dr = np.abs(np.einsum("bij,bj->bi", Qd, x) + cd
+                + np.einsum("bij,bi->bj", np.asarray(qp.G, np.float64), z)
+                ).max(1)
+    scale = 1.0 + np.abs(cd).max(1)
+    reported = np.asarray(sol.dual_residual, np.float64)
+    np.testing.assert_allclose(reported[conv], dr[conv],
+                               rtol=1e-3, atol=1e-4)
