@@ -93,7 +93,8 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    qp_warm_start: bool = False, qp_backend: str = "jnp",
                    controller: str = "balance", mpc_horizon: int = 8,
                    mpc_dt: float = 0.05, mpc_iterations: int = 25,
-                   mpc_backend: str = "structured", forces_override=None):
+                   mpc_backend: str = "structured", forces_override=None,
+                   mpc_state_weights=None):
     """One control tick. All arguments broadcast over leading batch dims.
 
     Args:
@@ -118,6 +119,10 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         "structured" (O(N) Riccati IPM, any batch), or "riccati-pallas"
         (mpc/pallas_riccati single-kernel path; batch must be a multiple
         of 1024).
+      mpc_state_weights: optional (13,) MPC state-cost diagonal — a traced
+        array for the condensed/structured backends (differentiable: tune
+        the MPC cost through rollout gradients); ignored by riccati-pallas
+        (kernel weights are compile-time constants).
       forces_override: optional (..., 12) world-frame GRFs — skip the
         stance-force solve entirely and apply these (zero-order hold for
         MPC decimation: the reference-class MPC runs at 25-50 Hz while the
@@ -257,11 +262,13 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
 
             F, sol = solve_mpc_structured(
                 xi0, xi_ref, yaw, p_start, com.x, stance_sched,
-                mpc_horizon, mpc_dt, cfg, iterations=mpc_iterations)
+                mpc_horizon, mpc_dt, cfg, iterations=mpc_iterations,
+                state_weights=mpc_state_weights)
         else:
             F, sol = solve_mpc(
                 xi0, xi_ref, yaw, p_start, com.x, stance_sched,
-                mpc_horizon, mpc_dt, cfg, iterations=mpc_iterations)
+                mpc_horizon, mpc_dt, cfg, iterations=mpc_iterations,
+                state_weights=mpc_state_weights)
         sol = sol._replace(
             x=F[..., 0, :],
             s=jnp.broadcast_to(carry.qp_s, carry.qp_s.shape),

@@ -56,8 +56,8 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             qp_polish: bool = False, record: bool = True,
             qp_backend: str = "jnp", controller: str = "balance",
             mpc_horizon: int = 8, mpc_dt: float = 0.05,
-            mpc_iterations: int = 25,
-            mpc_backend: str = "structured") -> RolloutResult:
+            mpc_iterations: int = 25, mpc_backend: str = "structured",
+            mpc_state_weights=None) -> RolloutResult:
     """Run ``steps`` control ticks of the closed loop.
 
     Args:
@@ -84,6 +84,7 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             qp_backend=qp_backend, controller=controller,
             mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
             mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
+            mpc_state_weights=mpc_state_weights,
         )
         plant_next = plant_step(
             plant_s, out.forces_world, out.gait.in_stance,
@@ -115,6 +116,7 @@ def rollout_mpc_decimated(plant: PlantState, carry: CommanderCarry,
                           mpc_every: int = 10, mpc_horizon: int = 8,
                           mpc_dt: float = 0.05, mpc_iterations: int = 25,
                           mpc_backend: str = "structured",
+                          mpc_state_weights=None,
                           record: bool = True) -> RolloutResult:
     """Closed loop with the MPC re-solved every ``mpc_every`` ticks.
 
@@ -133,7 +135,8 @@ def rollout_mpc_decimated(plant: PlantState, carry: CommanderCarry,
     assert steps % mpc_every == 0, (steps, mpc_every)
     dt = 1.0 / cfg.frequency
     mpc_kw = dict(controller="mpc", mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
-                  mpc_iterations=mpc_iterations, mpc_backend=mpc_backend)
+                  mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
+                  mpc_state_weights=mpc_state_weights)
 
     def tick(plant_s, carry_s, **kw):
         out, carry_next = commander_step(

@@ -189,7 +189,8 @@ def build_mpc_qp(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
 @partial(jax.jit, static_argnames=("horizon", "cfg", "iterations"))
 def solve_mpc(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
               horizon: int, dt, cfg: ControlConfig, iterations: int = 30,
-              mass=None, inertia_diag=None, mu=None, tol=None):
+              mass=None, inertia_diag=None, mu=None, tol=None,
+              state_weights=None, force_weight: float = 1e-6):
     """Build + solve the horizon QP; returns (forces (..., N, 12), solution).
 
     Uses the generic IPM without the unrolled-12 linalg (the stacked system
@@ -199,7 +200,8 @@ def solve_mpc(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
     """
     qp = build_mpc_qp(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
                       horizon, dt, cfg, mass=mass, inertia_diag=inertia_diag,
-                      mu=mu)
+                      mu=mu, state_weights=state_weights,
+                      force_weight=force_weight)
     if tol is None:
         # f32 cannot certify 1e-6-relative residuals on the 12N-var stacked
         # system: the dual-residual floor sits ~2e-4 in the original units

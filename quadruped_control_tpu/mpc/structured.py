@@ -442,12 +442,17 @@ def solve_mpc_qp_structured(data: MPCStructuredData, iterations: int = 30,
 def solve_mpc_structured(xi0, xi_ref, yaw, feet_world, x_com,
                          stance_schedule, horizon: int, dt,
                          cfg: ControlConfig, iterations: int = 30,
-                         mass=None, inertia_diag=None, mu=None, tol=None):
+                         mass=None, inertia_diag=None, mu=None, tol=None,
+                         state_weights=None, force_weight: float = 1e-6):
     """Drop-in analogue of mpc/horizon.solve_mpc using the O(N) structured
-    solver. Returns (F (..., N, 12), IPMSolution)."""
+    solver. Returns (F (..., N, 12), IPMSolution). state_weights may be a
+    TRACED (..., 13) array — the whole solve is differentiable, so MPC cost
+    weights can be tuned by gradient through closed-loop rollouts."""
     data = build_mpc_structured(xi0, xi_ref, yaw, feet_world, x_com,
                                 stance_schedule, horizon, dt, cfg,
-                                mass=mass, inertia_diag=inertia_diag, mu=mu)
+                                mass=mass, inertia_diag=inertia_diag, mu=mu,
+                                state_weights=state_weights,
+                                force_weight=force_weight)
     if tol is None:
         tol = 1e-6 if data.err0.dtype == jnp.float64 else 3e-4
     return solve_mpc_qp_structured(data, iterations=iterations, tol=tol)

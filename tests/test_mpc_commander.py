@@ -155,3 +155,39 @@ def test_mpc_condensed_backend_agrees():
                          mpc_backend="condensed")
     np.testing.assert_allclose(np.asarray(a.trace.x), np.asarray(b.trace.x),
                                atol=1e-5)
+
+
+def test_gradient_wrt_mpc_state_weights():
+    """MPC cost weights are traced values for the structured/condensed
+    backends: gradients flow from a rollout loss to the weights (controller
+    auto-tuning). FD-checked on the height-weight channel."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadruped_control_tpu.control.rollout import (
+        rollout_mpc_decimated,
+        stand_up_rollout,
+    )
+
+    cfg = mit_cheetah_physical_config()
+    stand = stand_up_rollout(cfg, seconds=2.0, dtype=jnp.float64)
+    w0 = jnp.array([50.0, 50.0, 10.0, 1.0, 1.0, 100.0,
+                    1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 0.0], jnp.float64)
+    cmd = jnp.zeros((6,), jnp.float64).at[0].set(0.2)
+
+    def loss(w):
+        res = rollout_mpc_decimated(stand.plant, stand.carry, cmd, 20, cfg,
+                                    mpc_every=5, mpc_horizon=4, mpc_dt=0.04,
+                                    mpc_iterations=12,
+                                    mpc_backend="structured",
+                                    mpc_state_weights=w, record=False)
+        return (res.plant.com.x[2] - 0.26) ** 2 * 1e4 + \
+            (res.plant.com.xdot[0] - 0.2) ** 2
+
+    g = jax.grad(loss)(w0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    i = 5  # height weight
+    e = jnp.zeros_like(w0).at[i].set(1e-4)
+    fd = (loss(w0 + e) - loss(w0 - e)) / 2e-4
+    rel = abs(float(fd - g[i])) / (1.0 + abs(float(fd)))
+    assert rel < 1e-5, (float(fd), float(g[i]))
