@@ -1,0 +1,104 @@
+"""Closed loop: commander x whole-body articulated plant in one scan.
+
+The TPU-native equivalent of the reference's full validation setup — the
+commander node and the Drake physics node exchanging torques/joint states
+over TCPROS at 100-600 Hz (SURVEY.md §3.1-3.2) — fused into a single jitted
+``lax.scan``. Unlike ``control/rollout.py`` (SRB surrogate with pinned
+stance feet — the controller's OWN model class), this loop closes through
+full articulated-body dynamics with compliant contact: leg masses, foot
+slip, and impact transients are all real, so it validates the controller
+under the same model mismatch the reference's Drake runs exercised.
+
+The only coupling between controller and plant is the torque command and
+the measured (base pose, joint) state — exactly the reference's topic
+surface (joint_torque_cmd / joint_states / com_state).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quadruped_control_tpu.config import ControlConfig
+from quadruped_control_tpu.control.commander import (
+    CommanderCarry,
+    commander_step,
+    init_commander_carry,
+)
+from quadruped_control_tpu.control.rollout import RolloutTrace
+from quadruped_control_tpu.sim.model import WholeBodyModel
+from quadruped_control_tpu.sim.plant import (
+    ContactConfig,
+    WholeBodyState,
+    whole_body_step,
+    whole_body_com_state,
+)
+from typing import NamedTuple
+
+
+class WholeBodyRolloutResult(NamedTuple):
+    plant: WholeBodyState
+    carry: CommanderCarry
+    trace: RolloutTrace
+
+
+@partial(jax.jit, static_argnames=("steps", "cfg", "contact", "n_substeps",
+                                   "qp_iterations", "qp_polish", "record",
+                                   "controller", "mpc_horizon", "mpc_dt",
+                                   "mpc_iterations", "mpc_backend"))
+def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
+                       cmd_twist, steps: int, cfg: ControlConfig,
+                       model: WholeBodyModel,
+                       contact: ContactConfig = ContactConfig(),
+                       n_substeps: int | None = None,
+                       qp_iterations: int = 12, qp_polish: bool = False,
+                       record: bool = True, controller: str = "balance",
+                       mpc_horizon: int = 8, mpc_dt: float = 0.05,
+                       mpc_iterations: int = 25,
+                       mpc_backend: str = "structured"
+                       ) -> WholeBodyRolloutResult:
+    """Run ``steps`` control ticks of the full-physics closed loop.
+
+    One tick = measure (base pose + joints) -> commander_step -> joint
+    torques (zero-order hold) -> ``n_substeps`` physics substeps.
+    """
+    dt = 1.0 / cfg.frequency
+
+    def body(state, _):
+        wb, cc = state
+        com, joints = whole_body_com_state(wb, cfg)
+        out, cc = commander_step(
+            com, joints, cc, cmd_twist, dt, cfg,
+            qp_iterations=qp_iterations, qp_polish=qp_polish,
+            controller=controller, mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
+            mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
+        )
+        wb = whole_body_step(wb, out.torques, dt, model, cfg, contact,
+                             n_substeps=n_substeps)
+        trace = None
+        if record:
+            trace = RolloutTrace(
+                x=wb.x,
+                xdot=(wb.R @ wb.u[..., 3:6, None])[..., 0],
+                standing=cc.standing,
+                in_stance=out.gait.in_stance,
+                qp_converged=out.qp_converged,
+                torque_max=jnp.max(jnp.abs(out.torques), axis=(-1, -2)),
+            )
+        return (wb, cc), trace
+
+    (wb, cc), trace = lax.scan(body, (plant, carry), None, length=steps)
+    return WholeBodyRolloutResult(plant=wb, carry=cc, trace=trace)
+
+
+def init_whole_body_rollout(cfg: ControlConfig, batch_shape=(),
+                            dtype=jnp.float32, **kwargs):
+    """Convenience: (plant, carry) pair in the laying start pose."""
+    from quadruped_control_tpu.sim.plant import init_whole_body_state
+
+    plant = init_whole_body_state(cfg, batch_shape, dtype=dtype, **kwargs)
+    carry = init_commander_carry(batch_shape, dtype=dtype)
+    return plant, carry
