@@ -28,20 +28,38 @@ def initialize(coordinator_address: Optional[str] = None,
     """Join the multi-host job (idempotent; no-op on single host setups).
 
     With no arguments, relies on the TPU environment's auto-discovery
-    (the standard path on Cloud TPU pods). Explicit arguments support
-    manual bring-up on other fabrics.
+    (the standard path on Cloud TPU pods) and degrades to single-host
+    silently. With explicit arguments (manual bring-up: dev boxes, other
+    fabrics), failures raise — a half-joined job must not limp on.
+
+    NOTE: must run before the first JAX computation; anything that touches
+    a backend (including ``jax.process_count()``/``jax.devices()``) locks
+    the process into single-host mode.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
+    if _is_initialized():
+        return
+    if (coordinator_address is None and num_processes is None
+            and process_id is None):
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            # No coordinator/environment: single-host development.
+            pass
+    else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # Single-host / no coordinator configured: run locally.
-        pass
+
+
+def _is_initialized() -> bool:
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
 
 
 def is_primary() -> bool:
