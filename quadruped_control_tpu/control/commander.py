@@ -94,7 +94,9 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    controller: str = "balance", mpc_horizon: int = 8,
                    mpc_dt: float = 0.05, mpc_iterations: int = 25,
                    mpc_backend: str = "structured", forces_override=None,
-                   mpc_state_weights=None):
+                   mpc_state_weights=None, weight_shift: float = 0.0,
+                   contact_gate: float = 0.0,
+                   raibert_cmd_symmetric: bool = False):
     """One control tick. All arguments broadcast over leading batch dims.
 
     Args:
@@ -128,6 +130,31 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         MPC decimation: the reference-class MPC runs at 25-50 Hz while the
         loop ticks at 100-300 Hz; rollout_mpc_decimated uses this). The
         swing pipeline (footholds, trajectories, IK, PD) still runs.
+      weight_shift: 0 disables (reference commander behavior). >0 blends
+        the walking (x, y) position target toward the reference's
+        *virtual predictive support polygon* (SupportPolygon,
+        trajectory.cpp:71-147 — shipped but never wired into the
+        reference's commander, SURVEY.md §2): the erf-weighted schedule
+        de-weights feet near their scheduled lift-off, pre-shifting the
+        body over the legs that will keep supporting it. NOTE: for a
+        diagonal-pair TROT this is a measured no-op — the trot's swing
+        pairs are point-symmetric, so the virtual support point stays at
+        the centroid (plausibly why the reference never wired it in). It
+        is the right tool for 3-1 crawl gaits, where single-leg lift-offs
+        move the polygon. 1.0 = full shift.
+      contact_gate: 0 disables (reference behavior: stance is purely
+        clock-scheduled, gait.cpp:127). >0 = contact-aware stance gating
+        for full-physics plants: a scheduled-stance foot measured (via FK)
+        more than this height [m] above the ground is NOT handed to the
+        GRF QP — the QP's fz_min >= 10 N row would otherwise force torque
+        onto a foot that hasn't landed (a late touchdown kicks the body
+        over). Gated legs keep swing-PD tracking toward their planned
+        foothold until they actually reach the ground. Typical: 0.005-0.02.
+      raibert_cmd_symmetric: False = reference behavior (the Raibert
+        travel term samples the measured velocity at the replan edge,
+        foot_planner.cpp:87). True = use the COMMANDED velocity in the
+        travel term (k- and capture-point terms keep measured feedback),
+        so a trot's lateral rocking does not alias into foothold scatter.
     Returns:
       (CommanderOutput, CommanderCarry).
     """
@@ -176,11 +203,37 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         phase=jnp.where(wmask, gait_walk.phase, stance_gait.phase),
     )
 
+    # 4b. (extension, opt-in) Anticipatory weight shift: pull the walking
+    #     (x, y) target toward the virtual predictive support polygon —
+    #     the reference's own SupportPolygon component, computed from the
+    #     measured feet and the scheduled gait (see docstring).
+    if weight_shift:
+        from quadruped_control_tpu.ops.trajectory import (
+            support_polygon_position,
+        )
+
+        s_ph = gait_cfg.stance_phase
+        pn = jnp.where(
+            gait.in_stance,
+            gait.phase / s_ph,
+            (gait.phase - s_ph) / (1.0 - s_ph),
+        )
+        gait_n = Gait(in_stance=gait.in_stance, phase=pn)
+        feet_w = (
+            jnp.einsum("...ij,...lj->...li", com.R, feet_body)
+            + com.x[..., None, :]
+        )
+        sig = jnp.full_like(pn, 0.25)
+        p_sup = support_polygon_position(sig, sig, sig, sig, feet_w, gait_n)
+        shift = weight_shift * (p_sup - x_d[..., :2])
+        x_d = x_d.at[..., :2].add(jnp.where(wmask, shift, 0.0))
+
     # 5. Foothold planning on stance->swing edges (commander_node.cpp:436-441).
     plan = plan_footholds(
         carry.planner.prev_in_stance, carry.planner.initialized, gait,
         gait_cfg.t_stance, com.R, com.x, com.xdot, com.w, xdot_d, feet_body,
         cfg.foot_planner,
+        symmetric_velocity=xdot_d if raibert_cmd_symmetric else None,
     )
 
     # 6. Swing trajectory replan: p_start = world-frame current foot
@@ -203,6 +256,27 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
     v_ref_body = jnp.einsum("...ji,...lj->...li", com.R, foot_ref.velocity)
     q_ref = inverse_kinematics(p_ref_body, kin)
     qdot_ref = (leg_jacobian_inverse(q_ref, kin) @ v_ref_body[..., None])[..., 0]
+
+    # 7b. (extension, opt-in) Contact-aware stance gating: scheduled-stance
+    #     feet still above the ground are withheld from the GRF QP and keep
+    #     swing-PD tracking toward their planned foothold (see docstring).
+    eff_stance = gait.in_stance
+    if contact_gate:
+        from quadruped_control_tpu.ops.trajectory import sextic_track
+
+        grounded = p_start[..., 2] < contact_gate
+        eff_stance = jnp.logical_and(gait.in_stance, grounded)
+        end_state = sextic_track(traj.coeffs, jnp.ones_like(gait.phase))
+        end_pos = jnp.where(traj.valid[..., None], end_state.position,
+                            p_start)
+        p_end_body = (
+            jnp.einsum("...ji,...lj->...li", com.R, end_pos)
+            - com.x[..., None, :]
+        )
+        q_end = inverse_kinematics(p_end_body, kin)
+        gated = jnp.logical_and(gait.in_stance, ~grounded)
+        q_ref = jnp.where(gated[..., None], q_end, q_ref)
+        qdot_ref = jnp.where(gated[..., None], 0.0, qdot_ref)
 
     # 8. Swing PD torques (commander_node.cpp:503-504).
     tau_swing = joint_pd_control(q_ref, qdot_ref, joints.q, joints.qdot,
@@ -239,6 +313,11 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         gait_hor = gait_at_time(t_hor, gait_cfg, dtype=dtype)
         stance_sched = jnp.where(walking[..., None, None],
                                  gait_hor.in_stance, True)
+        if contact_gate:
+            # Gate the horizon's first step by measured contact; later
+            # steps stay clock-scheduled (the foot will have landed).
+            stance_sched = stance_sched.at[..., 0, :].set(
+                stance_sched[..., 0, :] & eff_stance)
 
         # Constant-twist reference from the command (zero twist -> hold the
         # current (x, y, yaw) and drive to the stand height: the stand_up
@@ -287,13 +366,13 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         rows = 16 if n_inst >= 2048 else 8
         sol = solve_balance_qp_fused(
             com.R, R_d, com.x, com.xdot, com.w, x_d, xdot_d, w_d, feet_body,
-            gait.in_stance, cfg.balance, iterations=qp_iterations,
+            eff_stance, cfg.balance, iterations=qp_iterations,
             polish=qp_polish, rows=rows,
         )
     else:
         qp = dyn.build_balance_qp(
             com.R, R_d, com.x, com.xdot, com.w, x_d, xdot_d, w_d, feet_body,
-            gait.in_stance, cfg.balance,
+            eff_stance, cfg.balance,
         )
         # Warm-starting across ticks (qpOASES-hotstart analogue) is opt-in.
         # Transition-aware reset: a leg that flipped stance<->swing since
@@ -310,12 +389,12 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         sol = solve_qp_ipm(qp.Q, qp.c, qp.G, qp.h, iterations=qp_iterations,
                            polish=qp_polish, tol=3e-5, warm_start=warm,
                            warm_reset_mask=reset)
-    forces_body = dyn.forces_to_body_frame(sol.x, com.R, gait.in_stance)
+    forces_body = dyn.forces_to_body_frame(sol.x, com.R, eff_stance)
 
     # 10. Stance torques tau = J^T f; merge by stance mask; clamp
     #     (commander_node.cpp:511-531).
     tau_stance = jacobian_transpose_control(joints.q, forces_body, kin)
-    tau = jnp.where(gait.in_stance[..., None], tau_stance, tau_swing)
+    tau = jnp.where(eff_stance[..., None], tau_stance, tau_swing)
     tau = jnp.clip(tau, cfg.balance.torque_min, cfg.balance.torque_max)
 
     new_carry = CommanderCarry(

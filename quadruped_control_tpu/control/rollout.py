@@ -50,14 +50,15 @@ class RolloutResult(NamedTuple):
 @partial(jax.jit, static_argnames=("steps", "cfg", "qp_iterations",
                                    "qp_polish", "record", "qp_backend",
                                    "controller", "mpc_horizon", "mpc_dt",
-                                   "mpc_iterations", "mpc_backend"))
+                                   "mpc_iterations", "mpc_backend",
+                                   "weight_shift"))
 def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             cfg: ControlConfig, qp_iterations: int = 12,
             qp_polish: bool = False, record: bool = True,
             qp_backend: str = "jnp", controller: str = "balance",
             mpc_horizon: int = 8, mpc_dt: float = 0.05,
             mpc_iterations: int = 25, mpc_backend: str = "structured",
-            mpc_state_weights=None) -> RolloutResult:
+            mpc_state_weights=None, weight_shift: float = 0.0) -> RolloutResult:
     """Run ``steps`` control ticks of the closed loop.
 
     Args:
@@ -84,7 +85,7 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             qp_backend=qp_backend, controller=controller,
             mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
             mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
-            mpc_state_weights=mpc_state_weights,
+            mpc_state_weights=mpc_state_weights, weight_shift=weight_shift,
         )
         plant_next = plant_step(
             plant_s, out.forces_world, out.gait.in_stance,

@@ -28,7 +28,8 @@ class FootholdPlan(NamedTuple):
 
 
 def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
-                      cfg: FootPlannerConfig = FootPlannerConfig()):
+                      cfg: FootPlannerConfig = FootPlannerConfig(),
+                      symmetric_velocity=None):
     """World-frame footholds for all legs (reference ``singleFoot``,
     foot_planner.cpp:76-104).
 
@@ -39,6 +40,14 @@ def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
       R: (..., 3, 3) world-from-body rotation.
       x, xdot, w, xdot_d: (..., 3) CoM state / desired velocity.
       foot_positions: (..., 4, 3) current foot positions in the body frame.
+      symmetric_velocity: optional (..., 3) velocity to use in the
+        ``t_stance/2`` travel (neutral-point) term instead of the measured
+        ``xdot``. The reference samples the instantaneous velocity at the
+        replan edge (foot_planner.cpp:87); with a long stance (0.4 s
+        half-period) a trot's lateral rocking velocity aliases into
+        +-10 cm foothold scatter. Passing the commanded velocity keeps the
+        travel term steady while the k- and capture-point terms retain the
+        measured-velocity feedback.
     Returns:
       (..., 4, 3) footholds projected to the ground plane.
     """
@@ -48,7 +57,8 @@ def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
     tang_vel = jnp.cross(jnp.broadcast_to(w[..., None, :], pcom_foot.shape),
                          pcom_foot)
 
-    p_linear = (t_stance / 2.0) * xdot + cfg.k * (xdot - xdot_d)
+    v_sym = xdot if symmetric_velocity is None else symmetric_velocity
+    p_linear = (t_stance / 2.0) * v_sym + cfg.k * (xdot - xdot_d)
     p_tangent = (t_stance / 2.0) * tang_vel
     # z clamped >= 0: the reference would sqrt a negative height if the
     # base ever fell below ground (foot_planner.cpp:95 has no guard — a
@@ -62,7 +72,8 @@ def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
 
 def plan_footholds(prev_in_stance, initialized, gait: Gait, t_stance, R, x,
                    xdot, w, xdot_d, foot_positions,
-                   cfg: FootPlannerConfig = FootPlannerConfig()) -> FootholdPlan:
+                   cfg: FootPlannerConfig = FootPlannerConfig(),
+                   symmetric_velocity=None) -> FootholdPlan:
     """Edge-triggered foothold replanning (reference ``positions`` +
     ``updateStates``, foot_planner.cpp:45-74, 106-157).
 
@@ -75,7 +86,8 @@ def plan_footholds(prev_in_stance, initialized, gait: Gait, t_stance, R, x,
     replan = jnp.where(initialized[..., None], edge, swing_now)
 
     footholds = raibert_footholds(t_stance, R, x, xdot, w, xdot_d,
-                                  foot_positions, cfg)
+                                  foot_positions, cfg,
+                                  symmetric_velocity=symmetric_velocity)
     footholds = jnp.where(replan[..., None], footholds, 0.0)
 
     return FootholdPlan(

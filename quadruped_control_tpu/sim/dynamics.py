@@ -237,6 +237,79 @@ def total_mass(model: WholeBodyModel):
     return model.trunk_mass + jnp.sum(model.link_mass)
 
 
+def _inv3(m):
+    """Closed-form (..., 3, 3) inverse via the adjugate."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack(
+        [
+            jnp.stack([A, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([C, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+class MassFactor(NamedTuple):
+    """Prefactored mass matrix (tree-sparsity Schur form), reusable across
+    substeps within a control tick."""
+
+    Dinv: jnp.ndarray  # (..., 4, 3, 3) per-leg joint-block inverses
+    Bl: jnp.ndarray  # (..., 4, 6, 3) base-leg coupling
+    BDinv: jnp.ndarray  # (..., 4, 6, 3)
+    Sinv: jnp.ndarray  # (..., 6, 6) inverse base Schur complement
+
+
+def prefactor_mass_matrix(M) -> MassFactor:
+    """Factor M exploiting the floating-tree sparsity.
+
+    The four leg chains couple only through the base, so
+    ``M = [[A (6x6), B (6x12)], [B^T, D]]`` with D block-diagonal in
+    4 per-leg 3x3 blocks — the same branch-induced sparsity Featherstone's
+    ABA exploits. A Schur complement on the base block reduces a solve to
+    4 closed-form 3x3 inverses plus one 6x6 inverse (~5x fewer flops than
+    an 18x18 Cholesky, all batched VPU-friendly small ops on TPU).
+    """
+    batch = M.shape[:-2]
+    A = M[..., :6, :6]
+    B = M[..., :6, 6:]
+    Db = jnp.stack(
+        [M[..., 6 + 3 * l:9 + 3 * l, 6 + 3 * l:9 + 3 * l] for l in range(4)],
+        axis=-3,
+    )
+    Dinv = _inv3(Db)  # (..., 4, 3, 3)
+    Bl = B.reshape(batch + (6, 4, 3))
+    Bl = jnp.moveaxis(Bl, -2, -3)  # (..., 4, 6, 3)
+    BDinv = Bl @ Dinv
+    S = A - jnp.einsum("...lij,...lkj->...ik", BDinv, Bl)
+    Sinv = jnp.linalg.inv(S)
+    return MassFactor(Dinv=Dinv, Bl=Bl, BDinv=BDinv, Sinv=Sinv)
+
+
+def solve_prefactored(f: MassFactor, rhs):
+    """Solve M u = rhs with a :func:`prefactor_mass_matrix` factor."""
+    batch = rhs.shape[:-1]
+    r_b = rhs[..., :6]
+    r_q = rhs[..., 6:].reshape(batch + (4, 3))
+    rhs_b = r_b - jnp.einsum("...lij,...lj->...i", f.BDinv, r_q)
+    u_b = (f.Sinv @ rhs_b[..., None])[..., 0]
+    u_q = (f.Dinv @ (r_q - jnp.einsum(
+        "...lji,...j->...li", f.Bl, u_b))[..., None])[..., 0]
+    return jnp.concatenate([u_b, u_q.reshape(batch + (12,))], axis=-1)
+
+
+def solve_mass_matrix(M, rhs):
+    """One-shot tree-sparsity solve (factor + solve)."""
+    return solve_prefactored(prefactor_mass_matrix(M), rhs)
+
+
 def body_coms_world(model: WholeBodyModel, q, base_R, base_x):
     """World positions of all 13 body COMs.
 

@@ -33,7 +33,9 @@ from quadruped_control_tpu.ops.kinematics import (
 from quadruped_control_tpu.sim.dynamics import (
     mass_matrix,
     precompute_leg_kinematics,
+    prefactor_mass_matrix,
     rnea_bias,
+    solve_prefactored,
 )
 from quadruped_control_tpu.sim.model import (
     WholeBodyModel,
@@ -170,7 +172,8 @@ def _contact_forces_world(p_w, v_w, anchor, contact: ContactConfig, dtype):
 def whole_body_step(state: WholeBodyState, tau, dt,
                     model: WholeBodyModel, cfg: ControlConfig,
                     contact: ContactConfig = ContactConfig(),
-                    n_substeps: int | None = None) -> WholeBodyState:
+                    n_substeps: int | None = None,
+                    m_update: str = "substep") -> WholeBodyState:
     """Advance the articulated plant by one control period ``dt``.
 
     Args:
@@ -178,6 +181,14 @@ def whole_body_step(state: WholeBodyState, tau, dt,
         order hold — exactly how the reference's sim consumes the torque
         topic between control ticks, drake_interface_node.cpp:244-254).
       n_substeps: physics substeps (default: round(dt / contact.substep_dt)).
+      m_update: "substep" recomputes the mass matrix every physics substep
+        (accuracy-first default; use for energy/momentum audits);
+        "tick" computes + prefactors M(q) once per control period and
+        holds it across substeps (q moves <~0.03 rad per tick, so the
+        inertia error is a few percent transiently) — the mass-matrix
+        columns are ~18/19 of the RNEA work, so this is ~5x faster and is
+        what the closed-loop rollouts use. Contact kinematics and bias
+        forces always use the current substep state.
     """
     if n_substeps is None:
         n_substeps = max(1, int(round(dt / contact.substep_dt)))
@@ -185,14 +196,25 @@ def whole_body_step(state: WholeBodyState, tau, dt,
     dtype = state.x.dtype
     tau_flat = tau.reshape(tau.shape[:-2] + (12,)).astype(dtype)
 
+    factor0 = None
+    if m_update == "tick":
+        kin0 = precompute_leg_kinematics(model, state.q)
+        M0 = mass_matrix(model, kin0, state.x.shape[:-1], dtype)
+        factor0 = prefactor_mass_matrix(M0)
+
     def substep(s: WholeBodyState, _):
         R, x, u, q, anchor = s
         batch = x.shape[:-1]
         kin = precompute_leg_kinematics(model, q)
-        M = mass_matrix(model, kin, batch, dtype)
         base_v = u[..., :6]
         qdot = u[..., 6:].reshape(batch + (4, 3))
         bias = rnea_bias(model, kin, R, base_v, qdot)
+        if factor0 is None:
+            factor = prefactor_mass_matrix(
+                mass_matrix(model, kin, batch, dtype)
+            )
+        else:
+            factor = factor0
 
         # Contact kinematics (world frame).
         pts_b = _contact_points_body(q, cfg, contact)  # (..., 8, 3)
@@ -239,14 +261,7 @@ def whole_body_step(state: WholeBodyState, tau, dt,
         )
 
         rhs = g_applied + g_contact - bias
-        L = jnp.linalg.cholesky(M)
-        udot = lax.linalg.triangular_solve(
-            jnp.swapaxes(L, -1, -2),
-            lax.linalg.triangular_solve(
-                L, rhs[..., None], left_side=True, lower=True
-            ),
-            left_side=True, lower=False,
-        )[..., 0]
+        udot = solve_prefactored(factor, rhs)
 
         # Semi-implicit Euler: velocity first, then pose.
         u_new = u + h * udot

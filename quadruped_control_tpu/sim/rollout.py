@@ -48,7 +48,9 @@ class WholeBodyRolloutResult(NamedTuple):
 @partial(jax.jit, static_argnames=("steps", "cfg", "contact", "n_substeps",
                                    "qp_iterations", "qp_polish", "record",
                                    "controller", "mpc_horizon", "mpc_dt",
-                                   "mpc_iterations", "mpc_backend"))
+                                   "mpc_iterations", "mpc_backend",
+                                   "weight_shift", "m_update",
+                                   "contact_gate", "raibert_cmd_symmetric"))
 def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        cmd_twist, steps: int, cfg: ControlConfig,
                        model: WholeBodyModel,
@@ -58,7 +60,11 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        record: bool = True, controller: str = "balance",
                        mpc_horizon: int = 8, mpc_dt: float = 0.05,
                        mpc_iterations: int = 25,
-                       mpc_backend: str = "structured"
+                       mpc_backend: str = "structured",
+                       weight_shift: float = 0.0,
+                       m_update: str = "tick",
+                       contact_gate: float = 0.0,
+                       raibert_cmd_symmetric: bool = False
                        ) -> WholeBodyRolloutResult:
     """Run ``steps`` control ticks of the full-physics closed loop.
 
@@ -75,9 +81,11 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
             qp_iterations=qp_iterations, qp_polish=qp_polish,
             controller=controller, mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
             mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
+            weight_shift=weight_shift, contact_gate=contact_gate,
+            raibert_cmd_symmetric=raibert_cmd_symmetric,
         )
         wb = whole_body_step(wb, out.torques, dt, model, cfg, contact,
-                             n_substeps=n_substeps)
+                             n_substeps=n_substeps, m_update=m_update)
         trace = None
         if record:
             trace = RolloutTrace(

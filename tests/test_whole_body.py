@@ -307,6 +307,28 @@ def test_batched_matches_single(rng):
                                    atol=1e-12)
 
 
+def test_structured_solve_matches_dense(rng):
+    """The Schur-complement tree solve equals a dense solve of M u = r."""
+    from quadruped_control_tpu.sim.dynamics import solve_mass_matrix
+
+    q = _rand_q(rng, (7,))
+    kin = precompute_leg_kinematics(MODEL, q)
+    M = mass_matrix(MODEL, kin, (7,), DT)
+    r = jnp.asarray(rng.normal(size=(7, 18)), DT)
+    u_struct = solve_mass_matrix(M, r)
+    u_dense = jnp.linalg.solve(M, r[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(u_struct), np.asarray(u_dense),
+                               rtol=1e-9, atol=1e-11)
+    # And the off-diagonal leg-leg coupling really is zero (the sparsity
+    # the solve relies on).
+    D = np.asarray(M)[:, 6:, 6:]
+    for a in range(4):
+        for b in range(4):
+            if a != b:
+                blk = D[:, 3 * a:3 * a + 3, 3 * b:3 * b + 3]
+                assert np.abs(blk).max() < 1e-12
+
+
 def test_armature_and_damping_effects(rng):
     """Armature adds exactly to the joint diagonal of M; damping opposes
     joint motion."""

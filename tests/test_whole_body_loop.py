@@ -49,11 +49,15 @@ def test_walk_whole_body_tracks_02():
     README.md:57) on full physics: height held, lateral drift bounded,
     forward speed tracked."""
     plant, carry = init_whole_body_rollout(CFG, dtype=DT)
+    # m_update="substep": the slow reference trot is marginally stable on
+    # full physics (see PARITY.md); this pins the validated configuration.
     res = rollout_whole_body(plant, carry, jnp.zeros(6, DT), 900, CFG,
-                             MODEL, CONTACT, n_substeps=N_SUB)
+                             MODEL, CONTACT, n_substeps=N_SUB,
+                             m_update="substep")
     cmd = jnp.zeros(6, DT).at[0].set(0.2)
     r2 = rollout_whole_body(res.plant, res.carry, cmd, 1500, CFG, MODEL,
-                            CONTACT, n_substeps=N_SUB)
+                            CONTACT, n_substeps=N_SUB,
+                            m_update="substep")
     z = np.asarray(r2.trace.x[..., 2])
     x = np.asarray(r2.trace.x[..., 0])
     y = np.asarray(r2.trace.x[..., 1])
