@@ -46,7 +46,7 @@ class WholeBodyRolloutResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("steps", "cfg", "contact", "n_substeps",
-                                   "qp_iterations", "qp_polish", "record",
+                                   "qp_iterations", "qp_polish", "record", "qp_backend",
                                    "controller", "mpc_horizon", "mpc_dt",
                                    "mpc_iterations", "mpc_backend",
                                    "weight_shift", "m_update",
@@ -57,6 +57,7 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        contact: ContactConfig = ContactConfig(),
                        n_substeps: int | None = None,
                        qp_iterations: int = 12, qp_polish: bool = False,
+                       qp_backend: str = "jnp",
                        record: bool = True, controller: str = "balance",
                        mpc_horizon: int = 8, mpc_dt: float = 0.05,
                        mpc_iterations: int = 25,
@@ -79,7 +80,7 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
         out, cc = commander_step(
             com, joints, cc, cmd_twist, dt, cfg,
             qp_iterations=qp_iterations, qp_polish=qp_polish,
-            controller=controller, mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
+            qp_backend=qp_backend, controller=controller, mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
             mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
             weight_shift=weight_shift, contact_gate=contact_gate,
             raibert_cmd_symmetric=raibert_cmd_symmetric,

@@ -36,11 +36,15 @@ def main():
     log(f"device: {jax.devices()[0]}")
 
     variants = [
-        ("wb-sub10-b1024", 1024, dict(n_substeps=10)),
-        ("wb-sub10-b1024-Msub", 1024,
+        ("wb-fused-b1024", 1024,
+         dict(n_substeps=10, qp_backend="fused")),
+        ("wb-fused-b4096", 4096,
+         dict(n_substeps=10, qp_backend="fused")),
+        ("wb-fused-sub33-b4096", 4096,
+         dict(n_substeps=33, qp_backend="fused")),
+        ("wb-jnp-b1024", 1024, dict(n_substeps=10)),
+        ("wb-jnp-b1024-Msub", 1024,
          dict(n_substeps=10, m_update="substep")),
-        ("wb-sub10-b4096", 4096, dict(n_substeps=10)),
-        ("wb-sub33-b4096", 4096, dict(n_substeps=33)),
     ]
     for name, batch, kw in variants:
         contact = ContactConfig()
