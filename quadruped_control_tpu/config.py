@@ -214,6 +214,27 @@ def mit_cheetah_fast_trot_config() -> ControlConfig:
                                        t_swing=0.15))
 
 
+def mit_cheetah_whole_body_config() -> ControlConfig:
+    """Operating point for the FULL-PHYSICS plant (sim/): the fast-trot
+    gait with swing PD stiffened for real leg inertias (kp 80/80/100 vs
+    the reference's 40/40/50, which tracks the 0.15 s sextic with 3-8 cm
+    of lag on the articulated legs and lands late).
+
+    Use with ``rollout_whole_body(..., controller="mpc",
+    mpc_backend="structured", mpc_dt=0.03, gravity_comp=True)`` — the
+    measured robust envelope (CPU f64 and TPU f32): stepping in place and
+    0.2 m/s across every tested contact/integration variant, 0.4 m/s (the
+    reference's published maximum, README.md:56) in most. The reference's
+    own slow trot (duty 0.82) is marginally stable on full physics —
+    see PARITY.md "Full-physics closed loop"."""
+    base = mit_cheetah_fast_trot_config()
+    return dataclasses.replace(
+        base,
+        joint_control=JointControlConfig(kp=(80.0, 80.0, 100.0),
+                                         kd=(2.0, 2.0, 2.0)),
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class TeleopLimits:
     """Commanded-twist scaling (the reference's PS4 teleop presets,

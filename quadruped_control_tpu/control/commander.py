@@ -96,7 +96,8 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    mpc_backend: str = "structured", forces_override=None,
                    mpc_state_weights=None, weight_shift: float = 0.0,
                    contact_gate: float = 0.0,
-                   raibert_cmd_symmetric: bool = False):
+                   raibert_cmd_symmetric: bool = False,
+                   gravity_comp_tau=None):
     """One control tick. All arguments broadcast over leading batch dims.
 
     Args:
@@ -155,6 +156,13 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         foot_planner.cpp:87). True = use the COMMANDED velocity in the
         travel term (k- and capture-point terms keep measured feedback),
         so a trot's lateral rocking does not alias into foothold scatter.
+      gravity_comp_tau: optional (..., 4, 3) leg gravity torques to add to
+        the commanded torques (stance AND swing) before clamping — e.g.
+        ``sim.dynamics.leg_gravity_torques(model, joints.q, com.R)``. The
+        reference's tau = J^T f realizes the commanded GRF only for
+        massless legs; with real link masses every foot force carries the
+        leg's own weight as a ~2-3 N bias and the swing PD droops under
+        gravity. None = reference behavior.
     Returns:
       (CommanderOutput, CommanderCarry).
     """
@@ -395,6 +403,8 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
     #     (commander_node.cpp:511-531).
     tau_stance = jacobian_transpose_control(joints.q, forces_body, kin)
     tau = jnp.where(eff_stance[..., None], tau_stance, tau_swing)
+    if gravity_comp_tau is not None:
+        tau = tau + gravity_comp_tau
     tau = jnp.clip(tau, cfg.balance.torque_min, cfg.balance.torque_max)
 
     new_carry = CommanderCarry(

@@ -34,6 +34,7 @@ from quadruped_control_tpu.sim.plant import (
     whole_body_step,
     whole_body_com_state,
 )
+from quadruped_control_tpu.sim.pallas_substep import make_pallas_stepper
 from quadruped_control_tpu.sim.rollout import (
     WholeBodyRolloutResult,
     init_whole_body_rollout,
@@ -57,5 +58,6 @@ __all__ = [
     "whole_body_com_state",
     "WholeBodyRolloutResult",
     "init_whole_body_rollout",
+    "make_pallas_stepper",
     "rollout_whole_body",
 ]

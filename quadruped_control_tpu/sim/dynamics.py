@@ -237,6 +237,25 @@ def total_mass(model: WholeBodyModel):
     return model.trunk_mass + jnp.sum(model.link_mass)
 
 
+def leg_gravity_torques(model: WholeBodyModel, q, base_R):
+    """Per-joint gravity torques of the legs alone: the joint rows of the
+    bias at zero velocity, tau_g = dV_legs/dq.
+
+    Used by the commander's optional gravity compensation: the reference's
+    tau = J^T f realizes the commanded GRF only for massless legs — with
+    real link masses each foot force carries a ~2-3 N systematic bias (the
+    leg's own weight), and the swing PD droops under it.
+    """
+    kin = precompute_leg_kinematics(model, q)
+    batch = q.shape[:-2]
+    dtype = q.dtype
+    zeros6 = jnp.zeros(batch + (6,), dtype)
+    zeros_q = jnp.zeros_like(q)
+    tau = rnea(model, kin, base_R, zeros6, zeros_q, zeros6, zeros_q,
+               gravity=True)
+    return tau[..., 6:].reshape(batch + (4, 3))
+
+
 def _inv3(m):
     """Closed-form (..., 3, 3) inverse via the adjugate."""
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]

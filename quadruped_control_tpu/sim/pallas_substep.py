@@ -1,0 +1,543 @@
+"""Fused Pallas kernel: N physics substeps of the whole-body plant.
+
+The XLA whole-body substep is ~250 tiny batched ops (3-vector cross
+products, 3x3 matvecs) — op-latency-bound on TPU (~0.4 ms/substep at batch
+1024, regardless of batch). This kernel runs the ENTIRE substep loop —
+RNEA bias, contact (compliant normal + anchor stiction), prefactored
+tree solve, semi-implicit integration, Rodrigues pose update — as one
+``pallas_call``: every scalar of the algorithm is a ``(rows, 128)`` lane
+vector over instances, the 13-body model is unrolled with its parameters
+baked in as compile-time constants, and zero-valued parameter terms are
+folded away symbolically at trace time (``None`` = exact zero).
+
+The mass-matrix factor is computed ONCE per control tick in XLA (exactly
+like ``whole_body_step(m_update="tick")``) and passed in; the kernel
+holds it across substeps.
+
+Layout (same convention as solver/pallas_fused.py): ``(B, k)`` component
+arrays pack to ``(nb, k, rows, 128)`` tiles; grid over nb.
+
+Validated against the XLA path in tests/test_pallas_substep.py
+(interpret mode in f64, real kernel in f32 on device).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from quadruped_control_tpu.config import GRAVITY, ControlConfig
+from quadruped_control_tpu.sim.dynamics import (
+    mass_matrix,
+    precompute_leg_kinematics,
+    prefactor_mass_matrix,
+)
+from quadruped_control_tpu.sim.model import WholeBodyModel
+from quadruped_control_tpu.sim.plant import ContactConfig, WholeBodyState
+
+LANE = 128
+
+# Input component layout (k axis), all (B,):
+#   0:9    R row-major       9:12   x          12:30  u (w_b, v_b, qdot)
+#   30:42  q                 42:58  anchor (8 x 2)    58:70  tau
+#   70:106 Dinv (4 x 3x3)    106:178 Bl (4 x 6x3)
+#   178:250 BDinv (4 x 6x3)  250:286 Sinv (6x6)
+N_COMP = 286
+N_STATE = 58
+
+
+# --- symbolic-zero lane-vector algebra --------------------------------------
+
+def _add(*xs):
+    out = None
+    for x in xs:
+        if x is None:
+            continue
+        out = x if out is None else out + x
+    return out
+
+
+def _smul(c: float, v):
+    if v is None or c == 0.0:
+        return None
+    if c == 1.0:
+        return v
+    return c * v
+
+
+def _mul(a, b):
+    if a is None or b is None:
+        return None
+    return a * b
+
+
+def _neg(v):
+    return None if v is None else -v
+
+
+def _vadd(a, b):
+    return tuple(_add(a[i], b[i]) for i in range(3))
+
+
+def _vsmul(c: float, v):
+    return tuple(_smul(c, v[i]) for i in range(3))
+
+
+def _neg3(v):
+    return tuple(_neg(x) for x in v)
+
+
+def _cross(a, b):
+    return (
+        _add(_mul(a[1], b[2]), _neg(_mul(a[2], b[1]))),
+        _add(_mul(a[2], b[0]), _neg(_mul(a[0], b[2]))),
+        _add(_mul(a[0], b[1]), _neg(_mul(a[1], b[0]))),
+    )
+
+
+def _const_cross(c: tuple, v):
+    """cross(const float3 c, v), zeros folded."""
+    return (
+        _add(_smul(c[1], v[2]), _neg(_smul(c[2], v[1]))),
+        _add(_smul(c[2], v[0]), _neg(_smul(c[0], v[2]))),
+        _add(_smul(c[0], v[1]), _neg(_smul(c[1], v[0]))),
+    )
+
+
+def _matvec(M, v):
+    return tuple(
+        _add(_mul(M[i][0], v[0]), _mul(M[i][1], v[1]), _mul(M[i][2], v[2]))
+        for i in range(3)
+    )
+
+
+def _matTvec(M, v):
+    return tuple(
+        _add(_mul(M[0][i], v[0]), _mul(M[1][i], v[1]), _mul(M[2][i], v[2]))
+        for i in range(3)
+    )
+
+
+def _pack(a, rows):
+    B, k = a.shape
+    nb = B // (rows * LANE)
+    return a.reshape(nb, rows, LANE, k).transpose(0, 3, 1, 2)
+
+
+def _unpack(a):
+    nb, k, rows, lane = a.shape
+    return a.transpose(0, 2, 3, 1).reshape(nb * rows * lane, k)
+
+
+def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
+                        contact: ContactConfig = ContactConfig(),
+                        rows: int = 8, interpret: bool = False):
+    """Build a jittable ``stepper(state, tau, dt, n_substeps)``.
+
+    Model/geometry/contact parameters are snapshot to Python floats HERE
+    (call outside jit) and baked into the kernel as constants. ``dt`` and
+    ``n_substeps`` are static.
+    """
+    mdl = jax.tree.map(np.asarray, model)
+    kin = cfg.kinematics
+    hips = np.asarray(kin.hip_offsets(jnp.float64))
+    l1s = np.asarray(kin.l1_signed(jnp.float64))
+    sl2, sl3 = -float(kin.l2), -float(kin.l3)
+
+    trunk_m = float(mdl.trunk_mass)
+    trunk_I = np.diag(np.asarray(mdl.trunk_inertia)).tolist()
+    assert np.allclose(
+        np.asarray(mdl.trunk_inertia),
+        np.diag(np.diag(np.asarray(mdl.trunk_inertia)))), (
+        "pallas stepper assumes a diagonal trunk inertia")
+    link_m = np.asarray(mdl.link_mass)
+    link_c = np.asarray(mdl.link_com)
+    link_I = np.asarray(mdl.link_inertia)
+    for leg in range(4):
+        for j in range(3):
+            assert np.allclose(
+                link_I[leg, j], np.diag(np.diag(link_I[leg, j]))
+            ), "pallas stepper assumes diagonal link inertias"
+    damp = np.asarray(mdl.joint_damping)
+    axes = np.asarray(mdl.joint_axes)
+    for leg in range(4):
+        assert np.allclose(axes[leg, 0], [1, 0, 0])
+        assert np.allclose(axes[leg, 1], [0, 1, 0])
+        assert np.allclose(axes[leg, 2], [0, 1, 0])
+    joint_r = np.asarray(mdl.joint_offsets)
+
+    k_n = float(contact.stiffness)
+    d_n = float(contact.dissipation)
+    mu = float(contact.mu)
+    kt = float(contact.tangent_stiffness)
+    ct = float(contact.tangent_damping)
+    v_s = float(contact.stiction_velocity)
+    use_anchor = contact.tangential == "anchor"
+    trunk_cz = float(contact.trunk_contact_z)
+
+    def rot_apply(jtype, s, c, v, transpose=False):
+        """E v with E = R_axis(q)^T (parent coords -> child coords);
+        transpose applies E^T = R_axis(q). jtype 0 = Rx, 1 = Ry."""
+        sn = s if transpose else _neg(s)
+        if jtype == 0:
+            # [[1,0,0],[0,c,sn... ]] with E = Rx(q)^T:
+            # E = [[1,0,0],[0,c,s],[0,-s,c]] -> forward uses s, -s rows:
+            return (
+                v[0],
+                _add(_mul(c, v[1]), _neg(_mul(sn, v[2]))),
+                _add(_mul(sn, v[1]), _mul(c, v[2])),
+            )
+        # E = Ry(q)^T = [[c,0,-s],[0,1,0],[s,0,c]]
+        return (
+            _add(_mul(c, v[0]), _mul(sn, v[2])),
+            v[1],
+            _add(_neg(_mul(sn, v[0])), _mul(c, v[2])),
+        )
+
+    def spatial_inertia_apply(Ic, m, cvec, w, v):
+        """(ang, lin) of [[Ic + m cx cx^T, m cx],[m cx^T, m]] (w, v) with
+        diagonal Ic and constant COM cvec."""
+        Icw = tuple(_smul(Ic[i], w[i]) for i in range(3))
+        w_x_c = _neg3(_const_cross(cvec, w))  # w x c = -(c x w)
+        cxwxc = _const_cross(cvec, w_x_c)
+        h_ang = _vadd(
+            Icw, _vsmul(m, _vadd(cxwxc, _const_cross(cvec, v)))
+        )
+        h_lin = _vsmul(m, _vadd(v, _neg3(_const_cross(cvec, w))))
+        return h_ang, h_lin
+
+    def kernel(inp_ref, out_ref, *, n_substeps, h):
+        def load(i):
+            return inp_ref[0, i]
+
+        Dinv = [[[load(70 + g * 9 + r * 3 + c) for c in range(3)]
+                 for r in range(3)] for g in range(4)]
+        Bl = [[[load(106 + g * 18 + r * 3 + c) for c in range(3)]
+               for r in range(6)] for g in range(4)]
+        BDinv = [[[load(178 + g * 18 + r * 3 + c) for c in range(3)]
+                  for r in range(6)] for g in range(4)]
+        Sinv = [[load(250 + r * 6 + c) for c in range(6)] for r in range(6)]
+        tau_in = [load(58 + i) for i in range(12)]
+
+        def body(_, carry):
+            R = carry[0:9]
+            x = carry[9:12]
+            u = carry[12:30]
+            q = carry[30:42]
+            anchor = carry[42:58]
+
+            Rm = (R[0:3], R[3:6], R[6:9])
+            w_b = u[0:3]
+            v_b = u[3:6]
+            qd = u[6:18]
+            zero = x[0] * 0.0
+
+            sin = [jnp.sin(q[i]) for i in range(12)]
+            cos = [jnp.cos(q[i]) for i in range(12)]
+
+            # ---- RNEA bias (qdd = 0, base accel = gravity trick) ------
+            g_base = tuple(_smul(GRAVITY, Rm[2][i]) for i in range(3))
+            hw0 = tuple(_smul(trunk_I[i], w_b[i]) for i in range(3))
+            f0w = _cross(w_b, hw0)
+            f0v = _vadd(_vsmul(trunk_m, g_base),
+                        _cross(w_b, _vsmul(trunk_m, v_b)))
+
+            bias_q = [None] * 12
+            for leg in range(4):
+                w_p, v_p = w_b, v_b
+                aw_p, av_p = (None, None, None), g_base
+                chain = []
+                for j in range(3):
+                    jtype = 0 if j == 0 else 1
+                    qi = leg * 3 + j
+                    s, c = sin[qi], cos[qi]
+                    r = tuple(float(joint_r[leg, j, i]) for i in range(3))
+
+                    w_j = rot_apply(jtype, s, c, w_p)
+                    v_j = rot_apply(
+                        jtype, s, c,
+                        _vadd(v_p, _neg3(_const_cross(r, w_p))))
+                    aw_t = rot_apply(jtype, s, c, aw_p)
+                    av_t = rot_apply(
+                        jtype, s, c,
+                        _vadd(av_p, _neg3(_const_cross(r, aw_p))))
+
+                    qdot_i = qd[qi]
+                    wJ = ((qdot_i, None, None) if jtype == 0
+                          else (None, qdot_i, None))
+                    w_new = _vadd(w_j, wJ)
+                    aw_j = _vadd(aw_t, _cross(w_new, wJ))
+                    av_j = _vadd(av_t, _cross(v_j, wJ))
+
+                    m = float(link_m[leg, j])
+                    cvec = tuple(float(link_c[leg, j, i]) for i in range(3))
+                    Ic = [float(link_I[leg, j, i, i]) for i in range(3)]
+                    hw, hv = spatial_inertia_apply(Ic, m, cvec, w_new, v_j)
+                    fw_a, fv_a = spatial_inertia_apply(Ic, m, cvec, aw_j,
+                                                       av_j)
+                    fw = _vadd(fw_a,
+                               _vadd(_cross(w_new, hw), _cross(v_j, hv)))
+                    fv = _vadd(fv_a, _cross(w_new, hv))
+                    chain.append((jtype, s, c, r, fw, fv))
+                    w_p, v_p = w_new, v_j
+                    aw_p, av_p = aw_j, av_j
+
+                fw_c = (None, None, None)
+                fv_c = (None, None, None)
+                for j in (2, 1, 0):
+                    jtype, s, c, r, fw_j, fv_j = chain[j]
+                    fw_t = _vadd(fw_j, fw_c)
+                    fv_t = _vadd(fv_j, fv_c)
+                    bias_q[leg * 3 + j] = fw_t[0] if jtype == 0 else fw_t[1]
+                    EtFv = rot_apply(jtype, s, c, fv_t, transpose=True)
+                    EtFw = rot_apply(jtype, s, c, fw_t, transpose=True)
+                    fw_c = _vadd(EtFw, _const_cross(r, EtFv))
+                    fv_c = EtFv
+                f0w = _vadd(f0w, fw_c)
+                f0v = _vadd(f0v, fv_c)
+
+            # ---- contact ------------------------------------------------
+            g_w = (None, None, None)
+            g_v = (None, None, None)
+            g_q = [None] * 12
+            anchor_new = list(anchor)
+            for p in range(8):
+                leg = p % 4
+                if p < 4:
+                    s1, c1 = sin[leg * 3], cos[leg * 3]
+                    s2, c2 = sin[leg * 3 + 1], cos[leg * 3 + 1]
+                    s3, c3 = sin[leg * 3 + 2], cos[leg * 3 + 2]
+                    s23 = _add(_mul(s2, c3), _mul(c2, s3))
+                    c23 = _add(_mul(c2, c3), _neg(_mul(s2, s3)))
+                    L1 = float(l1s[leg])
+                    hx, hy, hz = (float(hips[leg, 0]), float(hips[leg, 1]),
+                                  float(hips[leg, 2]))
+                    zl = _add(_smul(sl2, c2), _smul(sl3, c23))
+                    px = _add(_smul(sl2, s2), _smul(sl3, s23), zero + hx)
+                    py = _add(_smul(L1, c1), _neg(_mul(s1, zl)), zero + hy)
+                    pz = _add(_smul(L1, s1), _mul(c1, zl), zero + hz)
+                    pt_b = (px, py, pz)
+                    # leg Jacobian (ops/kinematics.py:99-130)
+                    j01 = _add(_smul(sl2, c2), _smul(sl3, c23))
+                    j02 = _smul(sl3, c23)
+                    j10 = _add(_smul(-L1, s1), _neg(_mul(c1, zl)))
+                    xl = _add(_smul(sl2, s2), _smul(sl3, s23))
+                    j11 = _mul(xl, s1)
+                    j12 = _mul(_smul(sl3, s23), s1)
+                    j20 = _add(_smul(L1, c1), _neg(_mul(s1, zl)))
+                    j21 = _neg(_mul(xl, c1))
+                    j22 = _neg(_mul(_smul(sl3, s23), c1))
+                    Jl = ((None, j01, j02), (j10, j11, j12),
+                          (j20, j21, j22))
+                    qd_leg = (qd[leg * 3], qd[leg * 3 + 1],
+                              qd[leg * 3 + 2])
+                    v_joint = _matvec(Jl, qd_leg)
+                else:
+                    hx, hy, hz = (float(hips[leg, 0]), float(hips[leg, 1]),
+                                  float(hips[leg, 2]) + trunk_cz)
+                    pt_b = (zero + hx, zero + hy, zero + hz)
+                    Jl = None
+                    v_joint = (None, None, None)
+
+                p_w = _vadd(_matvec(Rm, pt_b), x)
+                v_pt = _vadd(_vadd(v_b, _cross(w_b, pt_b)), v_joint)
+                v_w = _matvec(Rm, v_pt)
+
+                phi = _neg(p_w[2])
+                phidot = _neg(v_w[2])
+                fn = k_n * phi * (1.0 + d_n * phidot)
+                in_contact = phi > 0.0
+                fn = jnp.where(in_contact, jnp.maximum(fn, zero), zero)
+
+                ax, ay = anchor[p * 2], anchor[p * 2 + 1]
+                if use_anchor:
+                    ftx = -kt * (p_w[0] - ax) - ct * v_w[0]
+                    fty = -kt * (p_w[1] - ay) - ct * v_w[1]
+                    ftn = jnp.sqrt(ftx * ftx + fty * fty + 1e-16)
+                    scale = jnp.minimum(zero + 1.0, mu * fn / ftn)
+                    ftx = jnp.where(in_contact, scale * ftx, zero)
+                    fty = jnp.where(in_contact, scale * fty, zero)
+                    anchor_new[p * 2] = jnp.where(
+                        in_contact, p_w[0] + (ftx + ct * v_w[0]) / kt,
+                        p_w[0])
+                    anchor_new[p * 2 + 1] = jnp.where(
+                        in_contact, p_w[1] + (fty + ct * v_w[1]) / kt,
+                        p_w[1])
+                else:
+                    speed = jnp.sqrt(v_w[0] * v_w[0] + v_w[1] * v_w[1]
+                                     + 1e-16)
+                    scale = mu * fn / jnp.maximum(speed, zero + v_s)
+                    ftx = -scale * v_w[0]
+                    fty = -scale * v_w[1]
+                    anchor_new[p * 2] = p_w[0]
+                    anchor_new[p * 2 + 1] = p_w[1]
+
+                f_w_pt = (ftx, fty, fn)
+                f_b_pt = _matTvec(Rm, f_w_pt)
+                g_w = _vadd(g_w, _cross(pt_b, f_b_pt))
+                g_v = _vadd(g_v, f_b_pt)
+                if p < 4:
+                    tq = _matTvec(Jl, f_b_pt)
+                    for j in range(3):
+                        g_q[leg * 3 + j] = _add(g_q[leg * 3 + j], tq[j])
+
+            # ---- solve (prefactored Schur) + integrate -----------------
+            rhs = [None] * 18
+            for i in range(3):
+                rhs[i] = _add(g_w[i], _neg(f0w[i]))
+                rhs[3 + i] = _add(g_v[i], _neg(f0v[i]))
+            for i in range(12):
+                leg, j = divmod(i, 3)
+                rhs[6 + i] = _add(
+                    tau_in[i], _neg(_smul(float(damp[leg, j]), qd[i])),
+                    g_q[i], _neg(bias_q[i]))
+
+            rb = [rhs[i] for i in range(6)]
+            for leg in range(4):
+                for r in range(6):
+                    acc = rb[r]
+                    for c in range(3):
+                        acc = _add(acc, _neg(_mul(BDinv[leg][r][c],
+                                                  rhs[6 + leg * 3 + c])))
+                    rb[r] = acc
+            ub = []
+            for r in range(6):
+                acc = None
+                for c in range(6):
+                    acc = _add(acc, _mul(Sinv[r][c], rb[c]))
+                ub.append(acc)
+            uq = [None] * 12
+            for leg in range(4):
+                t = []
+                for c in range(3):
+                    acc = rhs[6 + leg * 3 + c]
+                    for r in range(6):
+                        acc = _add(acc, _neg(_mul(Bl[leg][r][c], ub[r])))
+                    t.append(acc)
+                for r in range(3):
+                    acc = None
+                    for c in range(3):
+                        acc = _add(acc, _mul(Dinv[leg][r][c], t[c]))
+                    uq[leg * 3 + r] = acc
+            udot = ub + uq
+
+            u_new = tuple(_add(u[i], _smul(h, udot[i])) for i in range(18))
+            w_new = u_new[0:3]
+            v_new = u_new[3:6]
+            x_new = _vadd(x, _vsmul(h, _matvec(Rm, v_new)))
+            q_new = tuple(_add(q[i], _smul(h, u_new[6 + i]))
+                          for i in range(12))
+
+            # R_new = R @ exp(skew(w h)) (Rodrigues; concrete vectors).
+            wx = _add(_smul(h, w_new[0]), zero)
+            wy = _add(_smul(h, w_new[1]), zero)
+            wz = _add(_smul(h, w_new[2]), zero)
+            th2 = wx * wx + wy * wy + wz * wz
+            th = jnp.sqrt(th2 + 1e-30)
+            sinc = jnp.sin(th) / th
+            cosc = (1.0 - jnp.cos(th)) / (th2 + 1e-30)
+            K = ((zero, -wz, wy), (wz, zero, -wx), (-wy, wx, zero))
+            E = [[None] * 3 for _ in range(3)]
+            for i in range(3):
+                for j in range(3):
+                    k2 = zero
+                    for m_ in range(3):
+                        k2 = k2 + K[i][m_] * K[m_][j]
+                    val = sinc * K[i][j] + cosc * k2
+                    if i == j:
+                        val = val + 1.0
+                    E[i][j] = val
+            R_new = []
+            for i in range(3):
+                for j in range(3):
+                    acc = zero
+                    for m_ in range(3):
+                        acc = acc + Rm[i][m_] * E[m_][j]
+                    R_new.append(acc)
+
+            out = (tuple(R_new) + x_new + u_new + q_new
+                   + tuple(anchor_new))
+            # Mosaic: no Nones in the fori carry — materialize zeros.
+            return tuple(zero if v is None else v for v in out)
+
+        init = tuple(load(i) for i in range(N_STATE))
+        final = jax.lax.fori_loop(0, n_substeps, body, init)
+        for i in range(N_STATE):
+            out_ref[0, i] = final[i]
+
+    @partial(jax.jit, static_argnames=("dt", "n_substeps"))
+    def stepper(state: WholeBodyState, tau, dt: float, n_substeps: int):
+        dtype = state.x.dtype
+        batch = state.x.shape[:-1]
+        B = 1
+        for d in batch:
+            B *= int(d)
+
+        kin_j = precompute_leg_kinematics(model, state.q)
+        M = mass_matrix(model, kin_j, batch, dtype)
+        fac = prefactor_mass_matrix(M)
+
+        comps = jnp.concatenate(
+            [
+                state.R.reshape(batch + (9,)),
+                state.x,
+                state.u,
+                state.q.reshape(batch + (12,)),
+                state.anchor.reshape(batch + (16,)),
+                tau.reshape(batch + (12,)).astype(dtype),
+                fac.Dinv.reshape(batch + (36,)),
+                fac.Bl.reshape(batch + (72,)),
+                fac.BDinv.reshape(batch + (72,)),
+                fac.Sinv.reshape(batch + (36,)),
+            ],
+            axis=-1,
+        ).reshape(B, N_COMP)
+
+        tile = rows * LANE
+        B_pad = ((B + tile - 1) // tile) * tile
+        if B_pad != B:
+            pad = jnp.zeros((B_pad - B, N_COMP), dtype)
+            # Identity R, base high above ground, identity factor blocks:
+            # padding lanes integrate a free-falling robot and are dropped.
+            pad = pad.at[:, 0].set(1.0).at[:, 4].set(1.0).at[:, 8].set(1.0)
+            pad = pad.at[:, 11].set(100.0)
+            for g in range(4):
+                for i in range(3):
+                    pad = pad.at[:, 70 + g * 9 + i * 4].set(1.0)
+            for i in range(6):
+                pad = pad.at[:, 250 + i * 7].set(1.0)
+            comps = jnp.concatenate([comps, pad], axis=0)
+
+        packed = _pack(comps, rows)
+        nb = packed.shape[0]
+
+        out = pl.pallas_call(
+            partial(kernel, n_substeps=n_substeps,
+                    h=float(dt) / n_substeps),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, N_COMP, rows, LANE),
+                             lambda i: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, N_STATE, rows, LANE),
+                                   lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nb, N_STATE, rows, LANE),
+                                           dtype),
+            interpret=interpret,
+        )(packed)
+
+        flat = _unpack(out)[:B]
+        return WholeBodyState(
+            R=flat[:, 0:9].reshape(batch + (3, 3)),
+            x=flat[:, 9:12].reshape(batch + (3,)),
+            u=flat[:, 12:30].reshape(batch + (18,)),
+            q=flat[:, 30:42].reshape(batch + (4, 3)),
+            anchor=flat[:, 42:58].reshape(batch + (8, 2)),
+        )
+
+    return stepper

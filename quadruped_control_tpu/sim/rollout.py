@@ -29,6 +29,7 @@ from quadruped_control_tpu.control.commander import (
     init_commander_carry,
 )
 from quadruped_control_tpu.control.rollout import RolloutTrace
+from quadruped_control_tpu.sim.dynamics import leg_gravity_torques
 from quadruped_control_tpu.sim.model import WholeBodyModel
 from quadruped_control_tpu.sim.plant import (
     ContactConfig,
@@ -50,7 +51,8 @@ class WholeBodyRolloutResult(NamedTuple):
                                    "controller", "mpc_horizon", "mpc_dt",
                                    "mpc_iterations", "mpc_backend",
                                    "weight_shift", "m_update",
-                                   "contact_gate", "raibert_cmd_symmetric"))
+                                   "contact_gate", "raibert_cmd_symmetric",
+                                   "gravity_comp", "stepper"))
 def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        cmd_twist, steps: int, cfg: ControlConfig,
                        model: WholeBodyModel,
@@ -65,18 +67,31 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        weight_shift: float = 0.0,
                        m_update: str = "tick",
                        contact_gate: float = 0.0,
-                       raibert_cmd_symmetric: bool = False
+                       raibert_cmd_symmetric: bool = False,
+                       gravity_comp: bool = False,
+                       stepper=None
                        ) -> WholeBodyRolloutResult:
     """Run ``steps`` control ticks of the full-physics closed loop.
 
     One tick = measure (base pose + joints) -> commander_step -> joint
     torques (zero-order hold) -> ``n_substeps`` physics substeps.
+
+    ``stepper`` (static): optional fused plant stepper built OUTSIDE jit by
+    ``sim.pallas_substep.make_pallas_stepper(model, cfg, contact)`` — the
+    Pallas replacement for the op-latency-bound XLA substep loop. It bakes
+    the model/contact constants in, so it must match ``model``/``contact``;
+    requires an explicit ``n_substeps`` and implies ``m_update="tick"``.
     """
     dt = 1.0 / cfg.frequency
+    if stepper is not None and n_substeps is None:
+        raise ValueError("stepper= requires explicit n_substeps")
 
     def body(state, _):
         wb, cc = state
         com, joints = whole_body_com_state(wb, cfg)
+        g_tau = None
+        if gravity_comp:
+            g_tau = leg_gravity_torques(model, joints.q, com.R)
         out, cc = commander_step(
             com, joints, cc, cmd_twist, dt, cfg,
             qp_iterations=qp_iterations, qp_polish=qp_polish,
@@ -84,9 +99,13 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
             mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
             weight_shift=weight_shift, contact_gate=contact_gate,
             raibert_cmd_symmetric=raibert_cmd_symmetric,
+            gravity_comp_tau=g_tau,
         )
-        wb = whole_body_step(wb, out.torques, dt, model, cfg, contact,
-                             n_substeps=n_substeps, m_update=m_update)
+        if stepper is not None:
+            wb = stepper(wb, out.torques, dt, n_substeps)
+        else:
+            wb = whole_body_step(wb, out.torques, dt, model, cfg, contact,
+                                 n_substeps=n_substeps, m_update=m_update)
         trace = None
         if record:
             trace = RolloutTrace(

@@ -19,6 +19,7 @@ from quadruped_control_tpu.config import mit_cheetah_physical_config
 from quadruped_control_tpu.sim import (
     ContactConfig,
     init_whole_body_rollout,
+    make_pallas_stepper,
     mit_cheetah_whole_body_model,
     rollout_whole_body,
 )
@@ -35,7 +36,20 @@ def main():
     model = mit_cheetah_whole_body_model(cfg, dtype=jnp.float32)
     log(f"device: {jax.devices()[0]}")
 
+    contact0 = ContactConfig()
+    steppers = {
+        rows: make_pallas_stepper(model, cfg, contact0, rows=rows)
+        for rows in (8, 16)
+    }
     variants = [
+        ("wb-pallas-r8-b1024", 1024,
+         dict(n_substeps=10, qp_backend="fused", stepper=steppers[8])),
+        ("wb-pallas-r16-b4096", 4096,
+         dict(n_substeps=10, qp_backend="fused", stepper=steppers[16])),
+        ("wb-pallas-r8-b4096", 4096,
+         dict(n_substeps=10, qp_backend="fused", stepper=steppers[8])),
+        ("wb-pallas-r8-sub33-b4096", 4096,
+         dict(n_substeps=33, qp_backend="fused", stepper=steppers[8])),
         ("wb-fused-b1024", 1024,
          dict(n_substeps=10, qp_backend="fused")),
         ("wb-fused-b4096", 4096,
@@ -47,7 +61,7 @@ def main():
          dict(n_substeps=10, m_update="substep")),
     ]
     for name, batch, kw in variants:
-        contact = ContactConfig()
+        contact = contact0
         plant, carry = init_whole_body_rollout(cfg, (batch,),
                                                dtype=jnp.float32)
         cmd = jnp.zeros((batch, 6), jnp.float32).at[:, 0].set(0.2)

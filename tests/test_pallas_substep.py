@@ -1,0 +1,89 @@
+"""Pallas whole-body substep kernel == the XLA reference path.
+
+Interpret mode on CPU float64: the kernel's symbolic-zero unrolled math
+must reproduce ``whole_body_step(m_update="tick")`` to float64 roundoff.
+On-device f32 parity is exercised by scripts/whole_body_bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_control_tpu.config import mit_cheetah_physical_config
+from quadruped_control_tpu.sim import (
+    ContactConfig,
+    init_whole_body_state,
+    mit_cheetah_whole_body_model,
+    whole_body_step,
+)
+from quadruped_control_tpu.sim.pallas_substep import make_pallas_stepper
+
+CFG = mit_cheetah_physical_config()
+DT = jnp.float64
+MODEL = mit_cheetah_whole_body_model(CFG, dtype=DT)
+
+
+def _rand_state(rng, B):
+    state = init_whole_body_state(CFG, (B,), dtype=DT)
+    return state._replace(
+        q=state.q + jnp.asarray(rng.uniform(-0.3, 0.3, (B, 4, 3))),
+        u=jnp.asarray(rng.uniform(-1.0, 1.0, (B, 18))),
+        x=state.x.at[:, 2].add(
+            jnp.asarray(rng.uniform(-0.01, 0.05, (B,)))),
+    )
+
+
+@pytest.mark.parametrize("B", [1024, 100])
+def test_kernel_matches_xla(rng, B):
+    contact = ContactConfig()
+    state = _rand_state(rng, B)
+    tau = jnp.asarray(rng.uniform(-5, 5, (B, 4, 3)))
+    stepper = make_pallas_stepper(MODEL, CFG, contact, rows=8,
+                                  interpret=True)
+    out_pl = stepper(state, tau, 1e-3, 10)
+    out_x = whole_body_step(state, tau, 1e-3, MODEL, CFG, contact,
+                            n_substeps=10, m_update="tick")
+    for name in ("R", "x", "u", "q", "anchor"):
+        a = np.asarray(getattr(out_pl, name))
+        b = np.asarray(getattr(out_x, name))
+        np.testing.assert_allclose(a, b, atol=1e-11, err_msg=name)
+
+
+def test_closed_loop_with_pallas_stepper(rng):
+    """rollout_whole_body(stepper=...) == the XLA plant path, in the loop:
+    same commander, same trajectory, to f64 roundoff over several ticks."""
+    from quadruped_control_tpu.sim import (
+        init_whole_body_rollout,
+        rollout_whole_body,
+    )
+
+    contact = ContactConfig()
+    stepper = make_pallas_stepper(MODEL, CFG, contact, rows=8,
+                                  interpret=True)
+    plant, carry = init_whole_body_rollout(CFG, (64,), dtype=DT)
+    cmd = jnp.zeros((64, 6), DT)
+    kw = dict(n_substeps=5, qp_iterations=10)
+    ref = rollout_whole_body(plant, carry, cmd, 5, CFG, MODEL, contact,
+                             **kw)
+    out = rollout_whole_body(plant, carry, cmd, 5, CFG, MODEL, contact,
+                             stepper=stepper, **kw)
+    np.testing.assert_allclose(np.asarray(out.plant.x),
+                               np.asarray(ref.plant.x), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.plant.u),
+                               np.asarray(ref.plant.u), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.trace.x),
+                               np.asarray(ref.trace.x), atol=1e-10)
+
+
+def test_kernel_coulomb_variant(rng):
+    contact = ContactConfig(tangential="coulomb")
+    state = _rand_state(rng, 256)
+    tau = jnp.asarray(rng.uniform(-5, 5, (256, 4, 3)))
+    stepper = make_pallas_stepper(MODEL, CFG, contact, rows=8,
+                                  interpret=True)
+    out_pl = stepper(state, tau, 1e-3, 5)
+    out_x = whole_body_step(state, tau, 1e-3, MODEL, CFG, contact,
+                            n_substeps=5, m_update="tick")
+    np.testing.assert_allclose(np.asarray(out_pl.u), np.asarray(out_x.u),
+                               atol=1e-11)
