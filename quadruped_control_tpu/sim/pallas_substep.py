@@ -45,9 +45,12 @@ LANE = 128
 # Input component layout (k axis), all (B,):
 #   0:9    R row-major       9:12   x          12:30  u (w_b, v_b, qdot)
 #   30:42  q                 42:58  anchor (8 x 2)    58:70  tau
+# and, with prefactor="xla" only (prefactor="kernel" computes these
+# in-kernel from q via CRBA, see _build_factor_sym):
 #   70:106 Dinv (4 x 3x3)    106:178 Bl (4 x 6x3)
 #   178:250 BDinv (4 x 6x3)  250:286 Sinv (6x6)
 N_COMP = 286
+N_COMP_LEAN = 70
 N_STATE = 58
 
 
@@ -65,6 +68,9 @@ def _add(*xs):
 def _smul(c: float, v):
     if v is None or c == 0.0:
         return None
+    if isinstance(v, float):
+        out = c * v
+        return None if out == 0.0 else out
     if c == 1.0:
         return v
     return c * v
@@ -73,6 +79,10 @@ def _smul(c: float, v):
 def _mul(a, b):
     if a is None or b is None:
         return None
+    if isinstance(a, float):
+        return _smul(a, b)
+    if isinstance(b, float):
+        return _smul(b, a)
     return a * b
 
 
@@ -123,6 +133,109 @@ def _matTvec(M, v):
     )
 
 
+# --- symbolic 3x3 matrix algebra (entries: lane vector | float | None) ------
+
+def _cst(x):
+    """Python float constant; exact zeros become the symbolic None."""
+    x = float(x)
+    return None if x == 0.0 else x
+
+
+def _m3c(mat):
+    """Constant numpy 3x3 -> symbolic matrix."""
+    return [[_cst(mat[i, j]) for j in range(3)] for i in range(3)]
+
+
+def _m3T(A):
+    return [[A[j][i] for j in range(3)] for i in range(3)]
+
+
+def _m3mul(A, B):
+    return [
+        [
+            _add(_mul(A[i][0], B[0][j]), _mul(A[i][1], B[1][j]),
+                 _mul(A[i][2], B[2][j]))
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+
+
+def _m3add(A, B):
+    return [[_add(A[i][j], B[i][j]) for j in range(3)] for i in range(3)]
+
+
+def _m3sub(A, B):
+    return [[_add(A[i][j], _neg(B[i][j])) for j in range(3)]
+            for i in range(3)]
+
+
+def _m3smul(c: float, A):
+    return [[_smul(c, A[i][j]) for j in range(3)] for i in range(3)]
+
+
+def _skewm(v):
+    """Symbolic skew(v) matrix."""
+    return [
+        [None, _neg(v[2]), v[1]],
+        [v[2], None, _neg(v[0])],
+        [_neg(v[1]), v[0], None],
+    ]
+
+
+# Spatial inertia about a frame origin as (m: float, h: sym 3-tuple,
+# J: sym 3x3) with h = m*com, J = I_com - m*skew(c)skew(c).
+
+def _inertia_add(a, b):
+    return (a[0] + b[0], _vadd(a[1], b[1]), _m3add(a[2], b[2]))
+
+
+def _xform_inertia(E, r, inertia):
+    """Express (m, h, J) of a child frame in the parent frame, where the
+    child axes are E (parent->child map) and the child origin sits at the
+    constant float3 ``r`` in parent coords (Featherstone X^T I X)."""
+    m, h, J = inertia
+    Et = _m3T(E)
+    h_r = tuple(
+        _add(_mul(Et[i][0], h[0]), _mul(Et[i][1], h[1]),
+             _mul(Et[i][2], h[2]))
+        for i in range(3)
+    )
+    J_r = _m3mul(_m3mul(Et, J), E)
+    r_sym = tuple(_cst(x) for x in r)
+    h_p = _vadd(h_r, _vsmul(m, r_sym))
+    rhat = _skewm(r_sym)
+    hhat = _skewm(h_r)
+    corr = _m3add(
+        _m3smul(m, _m3mul(rhat, rhat)),
+        _m3add(_m3mul(rhat, hhat), _m3mul(hhat, rhat)),
+    )
+    return (m, h_p, _m3sub(J_r, corr))
+
+
+def _inv3_sym(M, one=1.0):
+    """Closed-form symbolic 3x3 inverse (adjugate / det) — mirrors
+    sim/dynamics._inv3."""
+    a, b, c = M[0]
+    d, e, f = M[1]
+    g, h, i = M[2]
+    A = _add(_mul(e, i), _neg(_mul(f, h)))
+    B = _add(_mul(f, g), _neg(_mul(d, i)))
+    C = _add(_mul(d, h), _neg(_mul(e, g)))
+    det = _add(_mul(a, A), _mul(b, B), _mul(c, C))
+    invdet = one / det
+    adj = [
+        [A, _add(_mul(c, h), _neg(_mul(b, i))),
+         _add(_mul(b, f), _neg(_mul(c, e)))],
+        [B, _add(_mul(a, i), _neg(_mul(c, g))),
+         _add(_mul(c, d), _neg(_mul(a, f)))],
+        [C, _add(_mul(b, g), _neg(_mul(a, h))),
+         _add(_mul(a, e), _neg(_mul(b, d)))],
+    ]
+    return [[_mul(adj[i_][j_], invdet) for j_ in range(3)]
+            for i_ in range(3)]
+
+
 def _pack(a, rows):
     B, k = a.shape
     nb = B // (rows * LANE)
@@ -136,13 +249,29 @@ def _unpack(a):
 
 def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
                         contact: ContactConfig = ContactConfig(),
-                        rows: int = 8, interpret: bool = False):
+                        rows: int = 8, interpret: bool = False,
+                        prefactor: str = "kernel"):
     """Build a jittable ``stepper(state, tau, dt, n_substeps)``.
 
     Model/geometry/contact parameters are snapshot to Python floats HERE
     (call outside jit) and baked into the kernel as constants. ``dt`` and
     ``n_substeps`` are static.
+
+    ``prefactor`` selects where the once-per-tick mass-matrix
+    factorization happens:
+      - ``"kernel"`` (default, fast path): composite-rigid-body (CRBA)
+        assembly of the tree-sparse blocks + Schur prefactorization run
+        INSIDE the kernel from q — the whole tick becomes one kernel and
+        the XLA side only packs state. Equals the XLA factor in exact
+        arithmetic; differs by roundoff (Cholesky-based 6x6 inverse vs
+        jnp.linalg.inv's LU, and CRBA's summation order vs unit-accel
+        RNEA columns).
+      - ``"xla"``: factor computed by sim.dynamics.prefactor_mass_matrix
+        in XLA and streamed in — bitwise-matches whole_body_step
+        (m_update="tick"); used by the exact-parity tests.
     """
+    if prefactor not in ("kernel", "xla"):
+        raise ValueError(f"prefactor must be 'kernel'|'xla': {prefactor}")
     mdl = jax.tree.map(np.asarray, model)
     kin = cfg.kinematics
     hips = np.asarray(kin.hip_offsets(jnp.float64))
@@ -164,6 +293,7 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
                 link_I[leg, j], np.diag(np.diag(link_I[leg, j]))
             ), "pallas stepper assumes diagonal link inertias"
     damp = np.asarray(mdl.joint_damping)
+    armature = np.asarray(mdl.armature)
     axes = np.asarray(mdl.joint_axes)
     for leg in range(4):
         assert np.allclose(axes[leg, 0], [1, 0, 0])
@@ -199,6 +329,168 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
             _add(_neg(_mul(sn, v[0])), _mul(c, v[2])),
         )
 
+    # Leaf spatial inertias about the link-frame origin, as constants:
+    # h = m*c, J_origin = I_com - m*skew(c)skew(c) (diagonal I_com asserted
+    # above; c along a single axis keeps J_origin diagonal, but the builder
+    # handles the general case).
+    leaf_inertia = []
+    for leg in range(4):
+        row = []
+        for j in range(3):
+            m = float(link_m[leg, j])
+            c = np.asarray(link_c[leg, j], dtype=np.float64)
+            J_o = np.asarray(link_I[leg, j], dtype=np.float64) + m * (
+                float(c @ c) * np.eye(3) - np.outer(c, c)
+            )
+            row.append((m, tuple(_cst(x) for x in c * m), _m3c(J_o)))
+        leaf_inertia.append(row)
+    trunk_inertia_sym = (trunk_m, (None, None, None),
+                         _m3c(np.diag(np.asarray(trunk_I))))
+
+    def joint_E(jtype, s, c):
+        """Symbolic parent->child rotation of rot_apply, as a matrix."""
+        if jtype == 0:  # Rx(q)^T
+            return [[1.0, None, None], [None, c, s], [None, _neg(s), c]]
+        return [[c, None, _neg(s)], [None, 1.0, None], [s, None, c]]
+
+    def xform_force_up(E, r, fw, fv):
+        """Child->parent force transform with constant float3 r."""
+        Et = _m3T(E)
+        fv_p = tuple(
+            _add(_mul(Et[i][0], fv[0]), _mul(Et[i][1], fv[1]),
+                 _mul(Et[i][2], fv[2]))
+            for i in range(3)
+        )
+        fw_p = _vadd(
+            tuple(
+                _add(_mul(Et[i][0], fw[0]), _mul(Et[i][1], fw[1]),
+                     _mul(Et[i][2], fw[2]))
+                for i in range(3)
+            ),
+            _const_cross(r, fv_p),
+        )
+        return fw_p, fv_p
+
+    def build_factor_sym(sin, cos, zero, debug=False):
+        """CRBA + tree-sparsity Schur prefactor, fully symbolic.
+
+        From the tick-start sin/cos of q, produce the blocks the substep
+        solve consumes: per-leg Dinv (3x3), Bl (6x3), BDinv (6x3) and the
+        inverse base Schur complement Sinv (6x6). Mirrors
+        sim/dynamics.{mass_matrix, prefactor_mass_matrix} (CRBA instead of
+        unit-accel RNEA columns — identical in exact arithmetic)."""
+        A_inertia = trunk_inertia_sym
+        Bl_s = [[[None] * 3 for _ in range(6)] for _ in range(4)]
+        D_s = [[[None] * 3 for _ in range(3)] for _ in range(4)]
+        for leg in range(4):
+            Es, rs = [], []
+            for j in range(3):
+                jtype = 0 if j == 0 else 1
+                qi = leg * 3 + j
+                Es.append(joint_E(jtype, sin[qi], cos[qi]))
+                rs.append(tuple(float(joint_r[leg, j, i])
+                                for i in range(3)))
+            # Composite inertias up the chain (frame j).
+            Ic = [None, None, leaf_inertia[leg][2]]
+            Ic[1] = _inertia_add(leaf_inertia[leg][1],
+                                 _xform_inertia(Es[2], rs[2], Ic[2]))
+            Ic[0] = _inertia_add(leaf_inertia[leg][0],
+                                 _xform_inertia(Es[1], rs[1], Ic[1]))
+            A_inertia = _inertia_add(
+                A_inertia, _xform_inertia(Es[0], rs[0], Ic[0])
+            )
+            # F_j = I^c_j S_j propagated toward the base: D and Bl entries.
+            for j in range(3):
+                ax = 0 if j == 0 else 1  # abad: x, thigh/knee: y
+                _, h_c, J_c = Ic[j]
+                fw = tuple(J_c[r][ax] for r in range(3))
+                fv = ((None, _neg(h_c[2]), h_c[1]) if ax == 0
+                      else (h_c[2], None, _neg(h_c[0])))
+                D_s[leg][j][j] = _add(fw[ax], _cst(armature[leg, j]))
+                for i in range(j - 1, -1, -1):
+                    fw, fv = xform_force_up(Es[i + 1], rs[i + 1], fw, fv)
+                    ai = 0 if i == 0 else 1
+                    D_s[leg][i][j] = fw[ai]
+                    D_s[leg][j][i] = fw[ai]
+                fw, fv = xform_force_up(Es[0], rs[0], fw, fv)
+                for r in range(3):
+                    Bl_s[leg][r][j] = fw[r]
+                    Bl_s[leg][3 + r][j] = fv[r]
+
+        m_tot, h_tot, J_tot = A_inertia
+        hhat = _skewm(h_tot)
+        A = [[None] * 6 for _ in range(6)]
+        for i in range(3):
+            for j in range(3):
+                A[i][j] = J_tot[i][j]
+                A[i][3 + j] = hhat[i][j]
+                A[3 + i][j] = hhat[j][i]
+        for i in range(3):
+            A[3 + i][3 + i] = m_tot
+
+        Dinv_s = [_inv3_sym(D_s[leg]) for leg in range(4)]
+        BDinv_s = [
+            [
+                [
+                    _add(*[_mul(Bl_s[leg][r][t], Dinv_s[leg][t][c])
+                           for t in range(3)])
+                    for c in range(3)
+                ]
+                for r in range(6)
+            ]
+            for leg in range(4)
+        ]
+        # S = A - sum_leg BDinv_leg @ Bl_leg^T, materialized to lanes.
+        S = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            for j in range(i, 6):
+                acc = A[i][j]
+                for leg in range(4):
+                    for t in range(3):
+                        acc = _add(acc, _neg(_mul(BDinv_s[leg][i][t],
+                                                  Bl_s[leg][j][t])))
+                if acc is None:
+                    acc = zero
+                elif isinstance(acc, float):
+                    acc = zero + acc
+                S[i][j] = acc
+                S[j][i] = acc
+        # Unrolled Cholesky S = L L^T, then Sinv = L^-T L^-1 (S is SPD:
+        # it is the base block of M after eliminating the leg blocks).
+        L = [[None] * 6 for _ in range(6)]
+        for j in range(6):
+            d = S[j][j]
+            for k in range(j):
+                d = d - L[j][k] * L[j][k]
+            Ljj = jnp.sqrt(d)
+            inv_Ljj = 1.0 / Ljj
+            L[j][j] = Ljj
+            for i in range(j + 1, 6):
+                v = S[i][j]
+                for k in range(j):
+                    v = v - L[i][k] * L[j][k]
+                L[i][j] = v * inv_Ljj
+        Y = [[None] * 6 for _ in range(6)]  # Y = L^-1 (lower)
+        for j in range(6):
+            Y[j][j] = 1.0 / L[j][j]
+        for j in range(6):
+            for i in range(j + 1, 6):
+                acc = None
+                for k in range(j, i):
+                    acc = _add(acc, _mul(L[i][k], Y[k][j]))
+                Y[i][j] = _neg(_mul(acc, Y[i][i]))
+        Sinv_s = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            for j in range(i, 6):
+                acc = None
+                for k in range(j, 6):
+                    acc = _add(acc, _mul(Y[k][i], Y[k][j]))
+                Sinv_s[i][j] = acc
+                Sinv_s[j][i] = acc
+        if debug:
+            return Dinv_s, Bl_s, BDinv_s, Sinv_s, A, S
+        return Dinv_s, Bl_s, BDinv_s, Sinv_s
+
     def spatial_inertia_apply(Ic, m, cvec, w, v):
         """(ang, lin) of [[Ic + m cx cx^T, m cx],[m cx^T, m]] (w, v) with
         diagonal Ic and constant COM cvec."""
@@ -215,14 +507,22 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
         def load(i):
             return inp_ref[0, i]
 
-        Dinv = [[[load(70 + g * 9 + r * 3 + c) for c in range(3)]
-                 for r in range(3)] for g in range(4)]
-        Bl = [[[load(106 + g * 18 + r * 3 + c) for c in range(3)]
-               for r in range(6)] for g in range(4)]
-        BDinv = [[[load(178 + g * 18 + r * 3 + c) for c in range(3)]
-                  for r in range(6)] for g in range(4)]
-        Sinv = [[load(250 + r * 6 + c) for c in range(6)] for r in range(6)]
         tau_in = [load(58 + i) for i in range(12)]
+        if prefactor == "kernel":
+            q0 = [load(30 + i) for i in range(12)]
+            zero0 = load(9) * 0.0
+            sin0 = [jnp.sin(q0[i]) for i in range(12)]
+            cos0 = [jnp.cos(q0[i]) for i in range(12)]
+            Dinv, Bl, BDinv, Sinv = build_factor_sym(sin0, cos0, zero0)
+        else:
+            Dinv = [[[load(70 + g * 9 + r * 3 + c) for c in range(3)]
+                     for r in range(3)] for g in range(4)]
+            Bl = [[[load(106 + g * 18 + r * 3 + c) for c in range(3)]
+                   for r in range(6)] for g in range(4)]
+            BDinv = [[[load(178 + g * 18 + r * 3 + c) for c in range(3)]
+                      for r in range(6)] for g in range(4)]
+            Sinv = [[load(250 + r * 6 + c) for c in range(6)]
+                    for r in range(6)]
 
         def body(_, carry):
             R = carry[0:9]
@@ -478,39 +778,42 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
         for d in batch:
             B *= int(d)
 
-        kin_j = precompute_leg_kinematics(model, state.q)
-        M = mass_matrix(model, kin_j, batch, dtype)
-        fac = prefactor_mass_matrix(M)
-
-        comps = jnp.concatenate(
-            [
-                state.R.reshape(batch + (9,)),
-                state.x,
-                state.u,
-                state.q.reshape(batch + (12,)),
-                state.anchor.reshape(batch + (16,)),
-                tau.reshape(batch + (12,)).astype(dtype),
+        n_comp = N_COMP_LEAN if prefactor == "kernel" else N_COMP
+        pieces = [
+            state.R.reshape(batch + (9,)),
+            state.x,
+            state.u,
+            state.q.reshape(batch + (12,)),
+            state.anchor.reshape(batch + (16,)),
+            tau.reshape(batch + (12,)).astype(dtype),
+        ]
+        if prefactor != "kernel":
+            kin_j = precompute_leg_kinematics(model, state.q)
+            M = mass_matrix(model, kin_j, batch, dtype)
+            fac = prefactor_mass_matrix(M)
+            pieces += [
                 fac.Dinv.reshape(batch + (36,)),
                 fac.Bl.reshape(batch + (72,)),
                 fac.BDinv.reshape(batch + (72,)),
                 fac.Sinv.reshape(batch + (36,)),
-            ],
-            axis=-1,
-        ).reshape(B, N_COMP)
+            ]
+        comps = jnp.concatenate(pieces, axis=-1).reshape(B, n_comp)
 
         tile = rows * LANE
         B_pad = ((B + tile - 1) // tile) * tile
         if B_pad != B:
-            pad = jnp.zeros((B_pad - B, N_COMP), dtype)
-            # Identity R, base high above ground, identity factor blocks:
-            # padding lanes integrate a free-falling robot and are dropped.
+            pad = jnp.zeros((B_pad - B, n_comp), dtype)
+            # Identity R, base high above ground (+ identity factor blocks
+            # on the xla path): padding lanes integrate a free-falling
+            # robot at q=0 and are dropped.
             pad = pad.at[:, 0].set(1.0).at[:, 4].set(1.0).at[:, 8].set(1.0)
             pad = pad.at[:, 11].set(100.0)
-            for g in range(4):
-                for i in range(3):
-                    pad = pad.at[:, 70 + g * 9 + i * 4].set(1.0)
-            for i in range(6):
-                pad = pad.at[:, 250 + i * 7].set(1.0)
+            if prefactor != "kernel":
+                for g in range(4):
+                    for i in range(3):
+                        pad = pad.at[:, 70 + g * 9 + i * 4].set(1.0)
+                for i in range(6):
+                    pad = pad.at[:, 250 + i * 7].set(1.0)
             comps = jnp.concatenate([comps, pad], axis=0)
 
         packed = _pack(comps, rows)
@@ -521,7 +824,7 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
                     h=float(dt) / n_substeps),
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, N_COMP, rows, LANE),
+                pl.BlockSpec((1, n_comp, rows, LANE),
                              lambda i: (i, 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, N_STATE, rows, LANE),
@@ -540,4 +843,5 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
             anchor=flat[:, 42:58].reshape(batch + (8, 2)),
         )
 
+    stepper.build_factor_sym = build_factor_sym  # exposed for tests
     return stepper

@@ -38,18 +38,29 @@ def main():
 
     contact0 = ContactConfig()
     steppers = {
-        rows: make_pallas_stepper(model, cfg, contact0, rows=rows)
-        for rows in (8, 16)
+        (rows, pf): make_pallas_stepper(model, cfg, contact0, rows=rows,
+                                        prefactor=pf)
+        for rows in (8, 16) for pf in ("kernel", "xla")
     }
     variants = [
+        ("wb-pallas-kfac-b1024", 1024,
+         dict(n_substeps=10, qp_backend="fused",
+              stepper=steppers[(8, "kernel")])),
+        ("wb-pallas-kfac-b4096", 4096,
+         dict(n_substeps=10, qp_backend="fused",
+              stepper=steppers[(8, "kernel")])),
+        ("wb-pallas-kfac-sub33-b4096", 4096,
+         dict(n_substeps=33, qp_backend="fused",
+              stepper=steppers[(8, "kernel")])),
+        ("wb-pallas-kfac-r16-b4096", 4096,
+         dict(n_substeps=10, qp_backend="fused",
+              stepper=steppers[(16, "kernel")])),
         ("wb-pallas-r8-b1024", 1024,
-         dict(n_substeps=10, qp_backend="fused", stepper=steppers[8])),
-        ("wb-pallas-r16-b4096", 4096,
-         dict(n_substeps=10, qp_backend="fused", stepper=steppers[16])),
+         dict(n_substeps=10, qp_backend="fused",
+              stepper=steppers[(8, "xla")])),
         ("wb-pallas-r8-b4096", 4096,
-         dict(n_substeps=10, qp_backend="fused", stepper=steppers[8])),
-        ("wb-pallas-r8-sub33-b4096", 4096,
-         dict(n_substeps=33, qp_backend="fused", stepper=steppers[8])),
+         dict(n_substeps=10, qp_backend="fused",
+              stepper=steppers[(8, "xla")])),
         ("wb-fused-b1024", 1024,
          dict(n_substeps=10, qp_backend="fused")),
         ("wb-fused-b4096", 4096,

@@ -34,20 +34,27 @@ def _rand_state(rng, B):
     )
 
 
-@pytest.mark.parametrize("B", [1024, 100])
-def test_kernel_matches_xla(rng, B):
+@pytest.mark.parametrize("B,prefactor,atol", [
+    (1024, "xla", 1e-11),   # same factor streamed in: f64-roundoff parity
+    (100, "xla", 1e-11),
+    # In-kernel CRBA+Cholesky factor equals the XLA unit-accel-RNEA+LU
+    # factor in exact arithmetic; different op order leaves ~1e-13-level
+    # f64 differences that the contact stiffness amplifies over substeps.
+    (1024, "kernel", 1e-8),
+])
+def test_kernel_matches_xla(rng, B, prefactor, atol):
     contact = ContactConfig()
     state = _rand_state(rng, B)
     tau = jnp.asarray(rng.uniform(-5, 5, (B, 4, 3)))
     stepper = make_pallas_stepper(MODEL, CFG, contact, rows=8,
-                                  interpret=True)
+                                  interpret=True, prefactor=prefactor)
     out_pl = stepper(state, tau, 1e-3, 10)
     out_x = whole_body_step(state, tau, 1e-3, MODEL, CFG, contact,
                             n_substeps=10, m_update="tick")
     for name in ("R", "x", "u", "q", "anchor"):
         a = np.asarray(getattr(out_pl, name))
         b = np.asarray(getattr(out_x, name))
-        np.testing.assert_allclose(a, b, atol=1e-11, err_msg=name)
+        np.testing.assert_allclose(a, b, atol=atol, err_msg=name)
 
 
 def test_closed_loop_with_pallas_stepper(rng):
@@ -59,21 +66,22 @@ def test_closed_loop_with_pallas_stepper(rng):
     )
 
     contact = ContactConfig()
-    stepper = make_pallas_stepper(MODEL, CFG, contact, rows=8,
-                                  interpret=True)
     plant, carry = init_whole_body_rollout(CFG, (64,), dtype=DT)
     cmd = jnp.zeros((64, 6), DT)
     kw = dict(n_substeps=5, qp_iterations=10)
     ref = rollout_whole_body(plant, carry, cmd, 5, CFG, MODEL, contact,
                              **kw)
-    out = rollout_whole_body(plant, carry, cmd, 5, CFG, MODEL, contact,
-                             stepper=stepper, **kw)
-    np.testing.assert_allclose(np.asarray(out.plant.x),
-                               np.asarray(ref.plant.x), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(out.plant.u),
-                               np.asarray(ref.plant.u), atol=1e-9)
-    np.testing.assert_allclose(np.asarray(out.trace.x),
-                               np.asarray(ref.trace.x), atol=1e-10)
+    for prefactor, atol in (("xla", 1e-10), ("kernel", 1e-7)):
+        stepper = make_pallas_stepper(MODEL, CFG, contact, rows=8,
+                                      interpret=True, prefactor=prefactor)
+        out = rollout_whole_body(plant, carry, cmd, 5, CFG, MODEL, contact,
+                                 stepper=stepper, **kw)
+        np.testing.assert_allclose(np.asarray(out.plant.x),
+                                   np.asarray(ref.plant.x), atol=atol)
+        np.testing.assert_allclose(np.asarray(out.plant.u),
+                                   np.asarray(ref.plant.u), atol=10 * atol)
+        np.testing.assert_allclose(np.asarray(out.trace.x),
+                                   np.asarray(ref.trace.x), atol=atol)
 
 
 def test_kernel_coulomb_variant(rng):
@@ -81,7 +89,7 @@ def test_kernel_coulomb_variant(rng):
     state = _rand_state(rng, 256)
     tau = jnp.asarray(rng.uniform(-5, 5, (256, 4, 3)))
     stepper = make_pallas_stepper(MODEL, CFG, contact, rows=8,
-                                  interpret=True)
+                                  interpret=True, prefactor="xla")
     out_pl = stepper(state, tau, 1e-3, 5)
     out_x = whole_body_step(state, tau, 1e-3, MODEL, CFG, contact,
                             n_substeps=5, m_update="tick")
