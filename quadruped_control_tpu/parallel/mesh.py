@@ -70,3 +70,45 @@ def solve_scenarios_sharded(s: ScenarioBatch, cfg: ControlConfig = None,
                        polish=polish, tol=3e-5)
     frac = jnp.mean(sol.converged.astype(qp.Q.dtype))
     return sol.x, sol.converged, frac
+
+
+def shard_rollout_whole_body(mesh: Mesh, cfg, model, contact=None,
+                             stepper=None, **static_kw):
+    """Scenario-sharded full-physics closed loop.
+
+    Returns ``run(plant, carry, cmd_twist, steps)`` that executes
+    ``sim.rollout.rollout_whole_body`` with every batch axis split over
+    ``mesh``'s scenario axis via ``shard_map``. GSPMD cannot partition a
+    ``pallas_call`` automatically, so the Pallas substep kernel
+    (``stepper=make_pallas_stepper(...)``) REQUIRES this wrapper on a
+    multi-chip mesh — each device runs the kernel on its local shard
+    (B/n_devices must stay a multiple of the kernel tile, or pays padding
+    per shard). The loop is pure data parallelism (SURVEY.md §2): no
+    cross-scenario collectives exist, so scaling is communication-free.
+
+    ``record`` is forced off (trace stacking would need a distinct
+    per-leaf out-spec); pass any other rollout kwarg via ``static_kw``.
+    """
+    from jax import shard_map
+    from quadruped_control_tpu.sim.plant import ContactConfig
+    from quadruped_control_tpu.sim.rollout import rollout_whole_body
+
+    contact = contact or ContactConfig()
+    spec = P(SCENARIO_AXIS)
+
+    def run(plant, carry, cmd_twist, steps: int):
+        def local(p, c, cmd):
+            return rollout_whole_body(
+                p, c, cmd, steps, cfg, model, contact, record=False,
+                stepper=stepper, **static_kw)
+
+        # check_vma off: solver-internal scans seed carries from broadcast
+        # constants, which trips the varying-axes check even though the
+        # computation is purely per-shard.
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )(plant, carry, cmd_twist)
+
+    return run

@@ -78,3 +78,44 @@ def test_sharded_mpc_rollout_matches_single_device():
     assert len(sh.plant.com.x.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(sh.trace.x),
                                np.asarray(ref.trace.x), atol=1e-9)
+
+
+def test_sharded_whole_body_rollout_matches_single_device():
+    """The full-physics closed loop (incl. the Pallas substep kernel, which
+    GSPMD cannot partition — shard_map runs it per shard) shards over the
+    scenario axis and reproduces the single-device rollout."""
+    from quadruped_control_tpu.config import mit_cheetah_physical_config
+    from quadruped_control_tpu.parallel.mesh import shard_rollout_whole_body
+    from quadruped_control_tpu.sim import (
+        ContactConfig,
+        init_whole_body_rollout,
+        make_pallas_stepper,
+        mit_cheetah_whole_body_model,
+        rollout_whole_body,
+    )
+
+    cfg = mit_cheetah_physical_config()
+    model = mit_cheetah_whole_body_model(cfg, dtype=jnp.float64)
+    contact = ContactConfig()
+    B = 64
+    plant, carry = init_whole_body_rollout(cfg, (B,), dtype=jnp.float64)
+    cmd = jnp.zeros((B, 6), jnp.float64)
+    kw = dict(n_substeps=3, qp_iterations=8)
+
+    ref = rollout_whole_body(plant, carry, cmd, 3, cfg, model, contact,
+                             record=False, **kw)
+
+    mesh = scenario_mesh()
+    for stepper in (None,
+                    make_pallas_stepper(model, cfg, contact, rows=8,
+                                        interpret=True)):
+        run = shard_rollout_whole_body(mesh, cfg, model, contact,
+                                       stepper=stepper, **kw)
+        out = run(plant, carry, cmd, 3)
+        atol = 1e-12 if stepper is None else 1e-8
+        np.testing.assert_allclose(np.asarray(out.plant.x),
+                                   np.asarray(ref.plant.x), atol=atol)
+        np.testing.assert_allclose(np.asarray(out.plant.u),
+                                   np.asarray(ref.plant.u), atol=100 * atol)
+        np.testing.assert_array_equal(np.asarray(out.carry.standing),
+                                      np.asarray(ref.carry.standing))
