@@ -87,18 +87,42 @@ def init_commander_carry(batch_shape=(), dtype=jnp.float32) -> CommanderCarry:
     )
 
 
-def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
-                   cmd_twist, dt, cfg: ControlConfig,
-                   qp_iterations: int = 15, qp_polish: bool = True,
-                   qp_warm_start: bool = False, qp_backend: str = "jnp",
-                   controller: str = "balance", mpc_horizon: int = 8,
-                   mpc_dt: float = 0.05, mpc_iterations: int = 25,
-                   mpc_backend: str = "structured", forces_override=None,
-                   mpc_state_weights=None, weight_shift: float = 0.0,
-                   contact_gate: float = 0.0,
-                   raibert_cmd_symmetric: bool = False,
-                   gravity_comp_tau=None):
-    """One control tick. All arguments broadcast over leading batch dims.
+class CommanderPrecursors(NamedTuple):
+    """Everything commander steps 1-8 produce (the pre-QP stage): inputs to
+    the stance-force controller plus the swing pipeline's results. Shared by
+    the XLA commander and the fused Pallas commander kernel's parity tests
+    (control/pallas_commander.py)."""
+
+    feet_body: jnp.ndarray  # (..., 4, 3)
+    standing: jnp.ndarray  # (...,)
+    gait_time: jnp.ndarray  # (...,)
+    walking: jnp.ndarray  # (...,)
+    gait: Gait
+    eff_stance: jnp.ndarray  # (..., 4) gait stance AND (opt) contact gate
+    R_d: jnp.ndarray  # (..., 3, 3)
+    x_d: jnp.ndarray  # (..., 3)
+    xdot_d: jnp.ndarray  # (..., 3)
+    w_d: jnp.ndarray  # (..., 3)
+    plan: "object"  # FootholdPlan
+    traj: "object"  # FootTrajCoeffs
+    foot_ref: "object"  # FootState
+    q_ref: jnp.ndarray  # (..., 4, 3)
+    qdot_ref: jnp.ndarray  # (..., 4, 3)
+    tau_swing: jnp.ndarray  # (..., 4, 3)
+    p_start: jnp.ndarray  # (..., 4, 3) current feet in world frame
+
+
+def commander_precursors(com: ComState, joints: JointState,
+                         carry: CommanderCarry, cmd_twist, dt,
+                         cfg: ControlConfig, *, weight_shift: float = 0.0,
+                         contact_gate: float = 0.0,
+                         raibert_cmd_symmetric: bool = False
+                         ) -> CommanderPrecursors:
+    """Commander steps 1-8 (SURVEY.md §3.1): FK, the standing/gait state
+    machine, desired-state generation, foothold planning, swing-trajectory
+    tracking, IK, and swing PD — everything before the stance-force solve.
+    All arguments broadcast over leading batch dims; see
+    :func:`commander_step` for the option semantics.
 
     Args:
       com: CoM state (world frame).
@@ -106,31 +130,6 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
       carry: carried controller state.
       cmd_twist: (..., 6) commanded body twist (cmd_vel).
       dt: control period (1 / cfg.frequency).
-      qp_backend: "jnp" (any batch, supports warm start) or "fused" (the
-        single-pallas_call assembly+solve kernel, solver/pallas_fused.py —
-        the fast path for large rollout sweeps; pads to its tile multiple,
-        so use it when the batch is ~1024+).
-      controller: "balance" — the reference's single-step GRF QP
-        (balance_controller.cpp:98-235); "mpc" — receding-horizon convex
-        SRB MPC (Di Carlo et al. 2018, mpc/): the stance GRFs come from
-        f_0 of the horizon solve over the gait's scheduled contacts; the
-        swing pipeline (footholds, sextic tracking, IK, PD) is identical.
-      mpc_horizon / mpc_dt / mpc_iterations: horizon length N (static), MPC
-        step (>= control dt; the schedule is sampled from the gait clock),
-        and IPM iteration count for controller="mpc".
-      mpc_backend: "condensed" (mpc/horizon, dense stacked QP),
-        "structured" (O(N) Riccati IPM, any batch), or "riccati-pallas"
-        (mpc/pallas_riccati single-kernel path; batch must be a multiple
-        of 1024).
-      mpc_state_weights: optional (13,) MPC state-cost diagonal — a traced
-        array for the condensed/structured backends (differentiable: tune
-        the MPC cost through rollout gradients); ignored by riccati-pallas
-        (kernel weights are compile-time constants).
-      forces_override: optional (..., 12) world-frame GRFs — skip the
-        stance-force solve entirely and apply these (zero-order hold for
-        MPC decimation: the reference-class MPC runs at 25-50 Hz while the
-        loop ticks at 100-300 Hz; rollout_mpc_decimated uses this). The
-        swing pipeline (footholds, trajectories, IK, PD) still runs.
       weight_shift: 0 disables (reference commander behavior). >0 blends
         the walking (x, y) position target toward the reference's
         *virtual predictive support polygon* (SupportPolygon,
@@ -156,15 +155,8 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         foot_planner.cpp:87). True = use the COMMANDED velocity in the
         travel term (k- and capture-point terms keep measured feedback),
         so a trot's lateral rocking does not alias into foothold scatter.
-      gravity_comp_tau: optional (..., 4, 3) leg gravity torques to add to
-        the commanded torques (stance AND swing) before clamping — e.g.
-        ``sim.dynamics.leg_gravity_torques(model, joints.q, com.R)``. The
-        reference's tau = J^T f realizes the commanded GRF only for
-        massless legs; with real link masses every foot force carries the
-        leg's own weight as a ~2-3 N bias and the swing PD droops under
-        gravity. None = reference behavior.
     Returns:
-      (CommanderOutput, CommanderCarry).
+      CommanderPrecursors.
     """
     dtype = com.x.dtype
     kin = cfg.kinematics
@@ -289,6 +281,88 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
     # 8. Swing PD torques (commander_node.cpp:503-504).
     tau_swing = joint_pd_control(q_ref, qdot_ref, joints.q, joints.qdot,
                                  cfg.joint_control)
+
+    return CommanderPrecursors(
+        feet_body=feet_body, standing=standing, gait_time=gait_time,
+        walking=walking, gait=gait, eff_stance=eff_stance, R_d=R_d, x_d=x_d,
+        xdot_d=xdot_d, w_d=w_d, plan=plan, traj=traj, foot_ref=foot_ref,
+        q_ref=q_ref, qdot_ref=qdot_ref, tau_swing=tau_swing,
+        p_start=p_start,
+    )
+
+
+def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
+                   cmd_twist, dt, cfg: ControlConfig,
+                   qp_iterations: int = 15, qp_polish: bool = True,
+                   qp_warm_start: bool = False, qp_backend: str = "jnp",
+                   controller: str = "balance", mpc_horizon: int = 8,
+                   mpc_dt: float = 0.05, mpc_iterations: int = 25,
+                   mpc_backend: str = "structured", forces_override=None,
+                   mpc_state_weights=None, weight_shift: float = 0.0,
+                   contact_gate: float = 0.0,
+                   raibert_cmd_symmetric: bool = False,
+                   gravity_comp_tau=None):
+    """One control tick. All arguments broadcast over leading batch dims.
+
+    Args:
+      com: CoM state (world frame).
+      joints: per-leg joint states.
+      carry: carried controller state.
+      cmd_twist: (..., 6) commanded body twist (cmd_vel).
+      dt: control period (1 / cfg.frequency).
+      qp_backend: "jnp" (any batch, supports warm start) or "fused" (the
+        single-pallas_call assembly+solve kernel, solver/pallas_fused.py —
+        the fast path for large rollout sweeps; pads to its tile multiple,
+        so use it when the batch is ~1024+).
+      controller: "balance" — the reference's single-step GRF QP
+        (balance_controller.cpp:98-235); "mpc" — receding-horizon convex
+        SRB MPC (Di Carlo et al. 2018, mpc/): the stance GRFs come from
+        f_0 of the horizon solve over the gait's scheduled contacts; the
+        swing pipeline (footholds, sextic tracking, IK, PD) is identical.
+      mpc_horizon / mpc_dt / mpc_iterations: horizon length N (static), MPC
+        step (>= control dt; the schedule is sampled from the gait clock),
+        and IPM iteration count for controller="mpc".
+      mpc_backend: "condensed" (mpc/horizon, dense stacked QP),
+        "structured" (O(N) Riccati IPM, any batch), or "riccati-pallas"
+        (mpc/pallas_riccati single-kernel path; batch must be a multiple
+        of 1024).
+      mpc_state_weights: optional (13,) MPC state-cost diagonal — a traced
+        array for the condensed/structured backends (differentiable: tune
+        the MPC cost through rollout gradients); ignored by riccati-pallas
+        (kernel weights are compile-time constants).
+      forces_override: optional (..., 12) world-frame GRFs — skip the
+        stance-force solve entirely and apply these (zero-order hold for
+        MPC decimation: the reference-class MPC runs at 25-50 Hz while the
+        loop ticks at 100-300 Hz; rollout_mpc_decimated uses this). The
+        swing pipeline (footholds, trajectories, IK, PD) still runs.
+      weight_shift / contact_gate / raibert_cmd_symmetric: opt-in
+        extensions, documented on :func:`commander_precursors`.
+      gravity_comp_tau: optional (..., 4, 3) leg gravity torques to add to
+        the commanded torques (stance AND swing) before clamping — e.g.
+        ``sim.dynamics.leg_gravity_torques(model, joints.q, com.R)``. The
+        reference's tau = J^T f realizes the commanded GRF only for
+        massless legs; with real link masses every foot force carries the
+        leg's own weight as a ~2-3 N bias and the swing PD droops under
+        gravity. None = reference behavior.
+    Returns:
+      (CommanderOutput, CommanderCarry).
+    """
+    dtype = com.x.dtype
+    kin = cfg.kinematics
+    gait_cfg = cfg.gait
+
+    pre = commander_precursors(
+        com, joints, carry, cmd_twist, dt, cfg, weight_shift=weight_shift,
+        contact_gate=contact_gate,
+        raibert_cmd_symmetric=raibert_cmd_symmetric,
+    )
+    feet_body = pre.feet_body
+    standing, gait_time, walking = pre.standing, pre.gait_time, pre.walking
+    gait, eff_stance = pre.gait, pre.eff_stance
+    R_d, x_d, xdot_d, w_d = pre.R_d, pre.x_d, pre.xdot_d, pre.w_d
+    plan, traj, foot_ref = pre.plan, pre.traj, pre.foot_ref
+    q_ref, tau_swing, p_start = pre.q_ref, pre.tau_swing, pre.p_start
+    wmask = walking[..., None]
 
     # 9. Stance-force controller: single-step balance QP (the reference's
     #    hot path, commander_node.cpp:507-508) or receding-horizon MPC.

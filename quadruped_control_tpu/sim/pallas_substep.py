@@ -40,6 +40,30 @@ from quadruped_control_tpu.sim.dynamics import (
 from quadruped_control_tpu.sim.model import WholeBodyModel
 from quadruped_control_tpu.sim.plant import ContactConfig, WholeBodyState
 
+from quadruped_control_tpu.math.symlane import (
+    _conc,
+    _add,
+    _const_cross,
+    _cross,
+    _cst,
+    _inv3_sym,
+    _m3add,
+    _m3c,
+    _m3mul,
+    _m3smul,
+    _m3sub,
+    _m3T,
+    _matTvec,
+    _matvec,
+    _mul,
+    _neg,
+    _neg3,
+    _skewm,
+    _smul,
+    _vadd,
+    _vsmul,
+)
+
 LANE = 128
 
 # Input component layout (k axis), all (B,):
@@ -52,135 +76,6 @@ LANE = 128
 N_COMP = 286
 N_COMP_LEAN = 70
 N_STATE = 58
-
-
-# --- symbolic-zero lane-vector algebra --------------------------------------
-
-def _add(*xs):
-    out = None
-    for x in xs:
-        if x is None:
-            continue
-        out = x if out is None else out + x
-    return out
-
-
-def _smul(c: float, v):
-    if v is None or c == 0.0:
-        return None
-    if isinstance(v, float):
-        out = c * v
-        return None if out == 0.0 else out
-    if c == 1.0:
-        return v
-    return c * v
-
-
-def _mul(a, b):
-    if a is None or b is None:
-        return None
-    if isinstance(a, float):
-        return _smul(a, b)
-    if isinstance(b, float):
-        return _smul(b, a)
-    return a * b
-
-
-def _neg(v):
-    return None if v is None else -v
-
-
-def _vadd(a, b):
-    return tuple(_add(a[i], b[i]) for i in range(3))
-
-
-def _vsmul(c: float, v):
-    return tuple(_smul(c, v[i]) for i in range(3))
-
-
-def _neg3(v):
-    return tuple(_neg(x) for x in v)
-
-
-def _cross(a, b):
-    return (
-        _add(_mul(a[1], b[2]), _neg(_mul(a[2], b[1]))),
-        _add(_mul(a[2], b[0]), _neg(_mul(a[0], b[2]))),
-        _add(_mul(a[0], b[1]), _neg(_mul(a[1], b[0]))),
-    )
-
-
-def _const_cross(c: tuple, v):
-    """cross(const float3 c, v), zeros folded."""
-    return (
-        _add(_smul(c[1], v[2]), _neg(_smul(c[2], v[1]))),
-        _add(_smul(c[2], v[0]), _neg(_smul(c[0], v[2]))),
-        _add(_smul(c[0], v[1]), _neg(_smul(c[1], v[0]))),
-    )
-
-
-def _matvec(M, v):
-    return tuple(
-        _add(_mul(M[i][0], v[0]), _mul(M[i][1], v[1]), _mul(M[i][2], v[2]))
-        for i in range(3)
-    )
-
-
-def _matTvec(M, v):
-    return tuple(
-        _add(_mul(M[0][i], v[0]), _mul(M[1][i], v[1]), _mul(M[2][i], v[2]))
-        for i in range(3)
-    )
-
-
-# --- symbolic 3x3 matrix algebra (entries: lane vector | float | None) ------
-
-def _cst(x):
-    """Python float constant; exact zeros become the symbolic None."""
-    x = float(x)
-    return None if x == 0.0 else x
-
-
-def _m3c(mat):
-    """Constant numpy 3x3 -> symbolic matrix."""
-    return [[_cst(mat[i, j]) for j in range(3)] for i in range(3)]
-
-
-def _m3T(A):
-    return [[A[j][i] for j in range(3)] for i in range(3)]
-
-
-def _m3mul(A, B):
-    return [
-        [
-            _add(_mul(A[i][0], B[0][j]), _mul(A[i][1], B[1][j]),
-                 _mul(A[i][2], B[2][j]))
-            for j in range(3)
-        ]
-        for i in range(3)
-    ]
-
-
-def _m3add(A, B):
-    return [[_add(A[i][j], B[i][j]) for j in range(3)] for i in range(3)]
-
-
-def _m3sub(A, B):
-    return [[_add(A[i][j], _neg(B[i][j])) for j in range(3)]
-            for i in range(3)]
-
-
-def _m3smul(c: float, A):
-    return [[_smul(c, A[i][j]) for j in range(3)] for i in range(3)]
-
-
-def _skewm(v):
-    """Symbolic skew(v) matrix."""
-    return [
-        [None, _neg(v[2]), v[1]],
-        [v[2], None, _neg(v[0])],
-        [_neg(v[1]), v[0], None],
-    ]
 
 
 # Spatial inertia about a frame origin as (m: float, h: sym 3-tuple,
@@ -213,29 +108,6 @@ def _xform_inertia(E, r, inertia):
     return (m, h_p, _m3sub(J_r, corr))
 
 
-def _inv3_sym(M, one=1.0):
-    """Closed-form symbolic 3x3 inverse (adjugate / det) — mirrors
-    sim/dynamics._inv3."""
-    a, b, c = M[0]
-    d, e, f = M[1]
-    g, h, i = M[2]
-    A = _add(_mul(e, i), _neg(_mul(f, h)))
-    B = _add(_mul(f, g), _neg(_mul(d, i)))
-    C = _add(_mul(d, h), _neg(_mul(e, g)))
-    det = _add(_mul(a, A), _mul(b, B), _mul(c, C))
-    invdet = one / det
-    adj = [
-        [A, _add(_mul(c, h), _neg(_mul(b, i))),
-         _add(_mul(b, f), _neg(_mul(c, e)))],
-        [B, _add(_mul(a, i), _neg(_mul(c, g))),
-         _add(_mul(c, d), _neg(_mul(a, f)))],
-        [C, _add(_mul(b, g), _neg(_mul(a, h))),
-         _add(_mul(a, e), _neg(_mul(b, d)))],
-    ]
-    return [[_mul(adj[i_][j_], invdet) for j_ in range(3)]
-            for i_ in range(3)]
-
-
 def _pack(a, rows):
     B, k = a.shape
     nb = B // (rows * LANE)
@@ -250,8 +122,10 @@ def _unpack(a):
 def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
                         contact: ContactConfig = ContactConfig(),
                         rows: int = 8, interpret: bool = False,
-                        prefactor: str = "kernel"):
-    """Build a jittable ``stepper(state, tau, dt, n_substeps)``.
+                        prefactor: str = "kernel",
+                        torque_input: str = "tau",
+                        gravity_comp: bool = False):
+    """Build a jittable fused plant stepper.
 
     Model/geometry/contact parameters are snapshot to Python floats HERE
     (call outside jit) and baked into the kernel as constants. ``dt`` and
@@ -269,9 +143,36 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
       - ``"xla"``: factor computed by sim.dynamics.prefactor_mass_matrix
         in XLA and streamed in — bitwise-matches whole_body_step
         (m_update="tick"); used by the exact-parity tests.
+
+    ``torque_input`` selects the commanded-torque interface:
+      - ``"tau"``: ``stepper(state, tau, dt, n_substeps)`` — joint torques
+        computed outside (the original interface).
+      - ``"qp"``: ``stepper(state, f_world, tau_swing, stance, dt,
+        n_substeps)`` — the commander's torque-mapping stage (world GRFs ->
+        f_b = -R^T f_w -> tau = J^T f_b, merged with the swing PD torques
+        by the stance mask, optional leg gravity compensation, clamped to
+        the config torque limits) runs as the kernel prologue, eliminating
+        the XLA glue between the QP solve and the plant. Also exposes
+        ``stepper.packed(state_p, fw_p, tausw_p, st_p, dt, n_substeps)``
+        operating directly on (nb, k, rows, 128) tiles for the fused tick
+        loop (sim/pallas_tick.py); packed mode requires
+        ``prefactor="kernel"``.
+
+    ``gravity_comp`` (``"qp"`` mode only): add the in-kernel equivalent of
+    ``sim.dynamics.leg_gravity_torques`` before clamping (the commander's
+    ``gravity_comp_tau`` option).
     """
     if prefactor not in ("kernel", "xla"):
         raise ValueError(f"prefactor must be 'kernel'|'xla': {prefactor}")
+    if torque_input not in ("tau", "qp"):
+        raise ValueError(f"torque_input must be 'tau'|'qp': {torque_input}")
+    if gravity_comp and torque_input != "qp":
+        raise ValueError("gravity_comp requires torque_input='qp'")
+    # In "qp" mode the tau block (comps 58:70) is dropped; the xla-mode
+    # factor blocks start right after the state.
+    fac_off = 70 if torque_input == "tau" else 58
+    tau_min = float(cfg.balance.torque_min)
+    tau_max = float(cfg.balance.torque_max)
     mdl = jax.tree.map(np.asarray, model)
     kin = cfg.kinematics
     hips = np.asarray(kin.hip_offsets(jnp.float64))
@@ -503,11 +404,136 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
         h_lin = _vsmul(m, _vadd(v, _neg3(_const_cross(cvec, w))))
         return h_ang, h_lin
 
-    def kernel(inp_ref, out_ref, *, n_substeps, h):
+    def rnea_legs(sin, cos, w_b, v_b, qd, g_base):
+        """Per-leg RNEA sweep (forward velocities/accelerations, backward
+        forces). Velocities may be symbolic Nones — a gravity-only pass
+        (w_b = v_b = qd = None) folds to just the rotated gravity chain.
+        Returns (bias_q[12], base wrench additions (fw, fv))."""
+        bias_q = [None] * 12
+        f0w_acc = (None, None, None)
+        f0v_acc = (None, None, None)
+        for leg in range(4):
+            w_p, v_p = w_b, v_b
+            aw_p, av_p = (None, None, None), g_base
+            chain = []
+            for j in range(3):
+                jtype = 0 if j == 0 else 1
+                qi = leg * 3 + j
+                s, c = sin[qi], cos[qi]
+                r = tuple(float(joint_r[leg, j, i]) for i in range(3))
+
+                w_j = rot_apply(jtype, s, c, w_p)
+                v_j = rot_apply(
+                    jtype, s, c,
+                    _vadd(v_p, _neg3(_const_cross(r, w_p))))
+                aw_t = rot_apply(jtype, s, c, aw_p)
+                av_t = rot_apply(
+                    jtype, s, c,
+                    _vadd(av_p, _neg3(_const_cross(r, aw_p))))
+
+                qdot_i = qd[qi]
+                wJ = ((qdot_i, None, None) if jtype == 0
+                      else (None, qdot_i, None))
+                w_new = _vadd(w_j, wJ)
+                aw_j = _vadd(aw_t, _cross(w_new, wJ))
+                av_j = _vadd(av_t, _cross(v_j, wJ))
+
+                m = float(link_m[leg, j])
+                cvec = tuple(float(link_c[leg, j, i]) for i in range(3))
+                Ic = [float(link_I[leg, j, i, i]) for i in range(3)]
+                hw, hv = spatial_inertia_apply(Ic, m, cvec, w_new, v_j)
+                fw_a, fv_a = spatial_inertia_apply(Ic, m, cvec, aw_j,
+                                                   av_j)
+                fw = _vadd(fw_a,
+                           _vadd(_cross(w_new, hw), _cross(v_j, hv)))
+                fv = _vadd(fv_a, _cross(w_new, hv))
+                chain.append((jtype, s, c, r, fw, fv))
+                w_p, v_p = w_new, v_j
+                aw_p, av_p = aw_j, av_j
+
+            fw_c = (None, None, None)
+            fv_c = (None, None, None)
+            for j in (2, 1, 0):
+                jtype, s, c, r, fw_j, fv_j = chain[j]
+                fw_t = _vadd(fw_j, fw_c)
+                fv_t = _vadd(fv_j, fv_c)
+                bias_q[leg * 3 + j] = fw_t[0] if jtype == 0 else fw_t[1]
+                EtFv = rot_apply(jtype, s, c, fv_t, transpose=True)
+                EtFw = rot_apply(jtype, s, c, fw_t, transpose=True)
+                fw_c = _vadd(EtFw, _const_cross(r, EtFv))
+                fv_c = EtFv
+            f0w_acc = _vadd(f0w_acc, fw_c)
+            f0v_acc = _vadd(f0v_acc, fv_c)
+        return bias_q, f0w_acc, f0v_acc
+
+    def leg_jacobian_sym(leg, sin, cos):
+        """Leg Jacobian at the given joint trig (ops/kinematics.py:99-130);
+        shared by the contact section and the torque-map prologue."""
+        s1, c1 = sin[leg * 3], cos[leg * 3]
+        s2, c2 = sin[leg * 3 + 1], cos[leg * 3 + 1]
+        s3, c3 = sin[leg * 3 + 2], cos[leg * 3 + 2]
+        s23 = _add(_mul(s2, c3), _mul(c2, s3))
+        c23 = _add(_mul(c2, c3), _neg(_mul(s2, s3)))
+        L1 = float(l1s[leg])
+        zl = _add(_smul(sl2, c2), _smul(sl3, c23))
+        xl = _add(_smul(sl2, s2), _smul(sl3, s23))
+        j01 = zl
+        j02 = _smul(sl3, c23)
+        j10 = _add(_smul(-L1, s1), _neg(_mul(c1, zl)))
+        j11 = _mul(xl, s1)
+        j12 = _mul(_smul(sl3, s23), s1)
+        j20 = _add(_smul(L1, c1), _neg(_mul(s1, zl)))
+        j21 = _neg(_mul(xl, c1))
+        j22 = _neg(_mul(_smul(sl3, s23), c1))
+        return ((None, j01, j02), (j10, j11, j12), (j20, j21, j22))
+
+    def torque_map_sym(load_state, load_fw, load_tausw, load_st):
+        """Commander steps 9b-10 (control/commander.py): world GRFs ->
+        body-frame forces -> tau = J^T f per stance leg, merged with the
+        swing PD torques, optional in-kernel leg gravity compensation
+        (sim/dynamics.leg_gravity_torques), clamped to the torque limits
+        (commander_node.cpp:511-531)."""
+        R = [load_state(i) for i in range(9)]
+        Rm = (R[0:3], R[3:6], R[6:9])
+        q = [load_state(30 + i) for i in range(12)]
+        zero = R[0] * 0.0
+        sin = [jnp.sin(q[i]) for i in range(12)]
+        cos = [jnp.cos(q[i]) for i in range(12)]
+        tau_g = None
+        if gravity_comp:
+            g_base = tuple(_smul(GRAVITY, Rm[2][i]) for i in range(3))
+            none3 = (None, None, None)
+            tau_g, _, _ = rnea_legs(sin, cos, none3, none3, [None] * 12,
+                                    g_base)
+        tau = [None] * 12
+        for leg in range(4):
+            st = load_st(leg)
+            f_w = tuple(load_fw(leg * 3 + i) for i in range(3))
+            # f_b = -R^T f_w for stance legs (ops/dynamics.
+            # forces_to_body_frame, balance_controller.cpp:218-232).
+            f_b = _neg3(_matTvec(Rm, f_w))
+            Jl = leg_jacobian_sym(leg, sin, cos)
+            tau_st = _matTvec(Jl, f_b)
+            for j in range(3):
+                i = leg * 3 + j
+                v = jnp.where(st > 0.5, _conc(tau_st[j], zero),
+                              load_tausw(i))
+                if tau_g is not None:
+                    v = v + _conc(tau_g[i], zero)
+                tau[i] = jnp.clip(v, tau_min, tau_max)
+        return tau
+
+    def kernel(inp_ref, out_ref, *, n_substeps, h, extra_refs=None):
         def load(i):
             return inp_ref[0, i]
 
-        tau_in = [load(58 + i) for i in range(12)]
+        if torque_input == "qp":
+            fw_ref, tausw_ref, st_ref = extra_refs
+            tau_in = torque_map_sym(load, lambda i: fw_ref[0, i],
+                                    lambda i: tausw_ref[0, i],
+                                    lambda i: st_ref[0, i])
+        else:
+            tau_in = [load(58 + i) for i in range(12)]
         if prefactor == "kernel":
             q0 = [load(30 + i) for i in range(12)]
             zero0 = load(9) * 0.0
@@ -515,13 +541,14 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
             cos0 = [jnp.cos(q0[i]) for i in range(12)]
             Dinv, Bl, BDinv, Sinv = build_factor_sym(sin0, cos0, zero0)
         else:
-            Dinv = [[[load(70 + g * 9 + r * 3 + c) for c in range(3)]
+            Dinv = [[[load(fac_off + g * 9 + r * 3 + c) for c in range(3)]
                      for r in range(3)] for g in range(4)]
-            Bl = [[[load(106 + g * 18 + r * 3 + c) for c in range(3)]
-                   for r in range(6)] for g in range(4)]
-            BDinv = [[[load(178 + g * 18 + r * 3 + c) for c in range(3)]
-                      for r in range(6)] for g in range(4)]
-            Sinv = [[load(250 + r * 6 + c) for c in range(6)]
+            Bl = [[[load(fac_off + 36 + g * 18 + r * 3 + c)
+                    for c in range(3)] for r in range(6)] for g in range(4)]
+            BDinv = [[[load(fac_off + 108 + g * 18 + r * 3 + c)
+                       for c in range(3)] for r in range(6)]
+                      for g in range(4)]
+            Sinv = [[load(fac_off + 180 + r * 6 + c) for c in range(6)]
                     for r in range(6)]
 
         def body(_, carry):
@@ -546,60 +573,10 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
             f0w = _cross(w_b, hw0)
             f0v = _vadd(_vsmul(trunk_m, g_base),
                         _cross(w_b, _vsmul(trunk_m, v_b)))
-
-            bias_q = [None] * 12
-            for leg in range(4):
-                w_p, v_p = w_b, v_b
-                aw_p, av_p = (None, None, None), g_base
-                chain = []
-                for j in range(3):
-                    jtype = 0 if j == 0 else 1
-                    qi = leg * 3 + j
-                    s, c = sin[qi], cos[qi]
-                    r = tuple(float(joint_r[leg, j, i]) for i in range(3))
-
-                    w_j = rot_apply(jtype, s, c, w_p)
-                    v_j = rot_apply(
-                        jtype, s, c,
-                        _vadd(v_p, _neg3(_const_cross(r, w_p))))
-                    aw_t = rot_apply(jtype, s, c, aw_p)
-                    av_t = rot_apply(
-                        jtype, s, c,
-                        _vadd(av_p, _neg3(_const_cross(r, aw_p))))
-
-                    qdot_i = qd[qi]
-                    wJ = ((qdot_i, None, None) if jtype == 0
-                          else (None, qdot_i, None))
-                    w_new = _vadd(w_j, wJ)
-                    aw_j = _vadd(aw_t, _cross(w_new, wJ))
-                    av_j = _vadd(av_t, _cross(v_j, wJ))
-
-                    m = float(link_m[leg, j])
-                    cvec = tuple(float(link_c[leg, j, i]) for i in range(3))
-                    Ic = [float(link_I[leg, j, i, i]) for i in range(3)]
-                    hw, hv = spatial_inertia_apply(Ic, m, cvec, w_new, v_j)
-                    fw_a, fv_a = spatial_inertia_apply(Ic, m, cvec, aw_j,
-                                                       av_j)
-                    fw = _vadd(fw_a,
-                               _vadd(_cross(w_new, hw), _cross(v_j, hv)))
-                    fv = _vadd(fv_a, _cross(w_new, hv))
-                    chain.append((jtype, s, c, r, fw, fv))
-                    w_p, v_p = w_new, v_j
-                    aw_p, av_p = aw_j, av_j
-
-                fw_c = (None, None, None)
-                fv_c = (None, None, None)
-                for j in (2, 1, 0):
-                    jtype, s, c, r, fw_j, fv_j = chain[j]
-                    fw_t = _vadd(fw_j, fw_c)
-                    fv_t = _vadd(fv_j, fv_c)
-                    bias_q[leg * 3 + j] = fw_t[0] if jtype == 0 else fw_t[1]
-                    EtFv = rot_apply(jtype, s, c, fv_t, transpose=True)
-                    EtFw = rot_apply(jtype, s, c, fw_t, transpose=True)
-                    fw_c = _vadd(EtFw, _const_cross(r, EtFv))
-                    fv_c = EtFv
-                f0w = _vadd(f0w, fw_c)
-                f0v = _vadd(f0v, fv_c)
+            bias_q, fw_legs, fv_legs = rnea_legs(sin, cos, w_b, v_b, qd,
+                                                 g_base)
+            f0w = _vadd(f0w, fw_legs)
+            f0v = _vadd(f0v, fv_legs)
 
             # ---- contact ------------------------------------------------
             g_w = (None, None, None)
@@ -770,23 +747,47 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
         for i in range(N_STATE):
             out_ref[0, i] = final[i]
 
-    @partial(jax.jit, static_argnames=("dt", "n_substeps"))
-    def stepper(state: WholeBodyState, tau, dt: float, n_substeps: int):
-        dtype = state.x.dtype
-        batch = state.x.shape[:-1]
-        B = 1
-        for d in batch:
-            B *= int(d)
+    def _spec(k):
+        return pl.BlockSpec((1, k, rows, LANE), lambda i: (i, 0, 0, 0))
 
-        n_comp = N_COMP_LEAN if prefactor == "kernel" else N_COMP
+    def _kern_entry_qp(inp_ref, fw_ref, tausw_ref, st_ref, out_ref, *,
+                       n_substeps, h):
+        kernel(inp_ref, out_ref, n_substeps=n_substeps, h=h,
+               extra_refs=(fw_ref, tausw_ref, st_ref))
+
+    def _call_packed(packed_inputs, n_comp, dt, n_substeps):
+        nb = packed_inputs[0].shape[0]
+        dtype = packed_inputs[0].dtype
+        if torque_input == "qp":
+            kern = partial(_kern_entry_qp, n_substeps=n_substeps,
+                           h=float(dt) / n_substeps)
+            in_specs = [_spec(n_comp), _spec(12), _spec(12), _spec(4)]
+        else:
+            kern = partial(kernel, n_substeps=n_substeps,
+                           h=float(dt) / n_substeps)
+            in_specs = [_spec(n_comp)]
+        return pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=_spec(N_STATE),
+            out_shape=jax.ShapeDtypeStruct((nb, N_STATE, rows, LANE),
+                                           dtype),
+            interpret=interpret,
+        )(*packed_inputs)
+
+    def _state_comps(state: WholeBodyState, extra, batch, B, dtype):
+        """Flatten state (+ mode-dependent extras) to (B, n_comp) columns
+        and the separate (B, k) extra columns for qp mode."""
         pieces = [
             state.R.reshape(batch + (9,)),
             state.x,
             state.u,
             state.q.reshape(batch + (12,)),
             state.anchor.reshape(batch + (16,)),
-            tau.reshape(batch + (12,)).astype(dtype),
         ]
+        if torque_input == "tau":
+            pieces.append(extra[0].reshape(batch + (12,)).astype(dtype))
         if prefactor != "kernel":
             kin_j = precompute_leg_kinematics(model, state.q)
             M = mass_matrix(model, kin_j, batch, dtype)
@@ -797,43 +798,54 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
                 fac.BDinv.reshape(batch + (72,)),
                 fac.Sinv.reshape(batch + (36,)),
             ]
+        n_comp = sum(p.shape[-1] for p in pieces)
         comps = jnp.concatenate(pieces, axis=-1).reshape(B, n_comp)
+        extras = []
+        if torque_input == "qp":
+            extras = [
+                extra[0].reshape(batch + (12,)).astype(dtype)
+                .reshape(B, 12),
+                extra[1].reshape(batch + (12,)).astype(dtype)
+                .reshape(B, 12),
+                extra[2].reshape(batch + (4,)).astype(dtype).reshape(B, 4),
+            ]
+        return comps, extras, n_comp
 
-        tile = rows * LANE
+    def _pad_comps(comps, n_comp, B, tile, dtype):
         B_pad = ((B + tile - 1) // tile) * tile
-        if B_pad != B:
-            pad = jnp.zeros((B_pad - B, n_comp), dtype)
-            # Identity R, base high above ground (+ identity factor blocks
-            # on the xla path): padding lanes integrate a free-falling
-            # robot at q=0 and are dropped.
-            pad = pad.at[:, 0].set(1.0).at[:, 4].set(1.0).at[:, 8].set(1.0)
-            pad = pad.at[:, 11].set(100.0)
-            if prefactor != "kernel":
-                for g in range(4):
-                    for i in range(3):
-                        pad = pad.at[:, 70 + g * 9 + i * 4].set(1.0)
-                for i in range(6):
-                    pad = pad.at[:, 250 + i * 7].set(1.0)
-            comps = jnp.concatenate([comps, pad], axis=0)
+        if B_pad == B:
+            return comps, B_pad
+        pad = jnp.zeros((B_pad - B, n_comp), dtype)
+        # Identity R, base high above ground (+ identity factor blocks on
+        # the xla path): padding lanes integrate a free-falling robot at
+        # q=0 and are dropped.
+        pad = pad.at[:, 0].set(1.0).at[:, 4].set(1.0).at[:, 8].set(1.0)
+        pad = pad.at[:, 11].set(100.0)
+        if prefactor != "kernel":
+            for g in range(4):
+                for i in range(3):
+                    pad = pad.at[:, fac_off + g * 9 + i * 4].set(1.0)
+            for i in range(6):
+                pad = pad.at[:, fac_off + 180 + i * 7].set(1.0)
+        return jnp.concatenate([comps, pad], axis=0), B_pad
 
-        packed = _pack(comps, rows)
-        nb = packed.shape[0]
-
-        out = pl.pallas_call(
-            partial(kernel, n_substeps=n_substeps,
-                    h=float(dt) / n_substeps),
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((1, n_comp, rows, LANE),
-                             lambda i: (i, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, N_STATE, rows, LANE),
-                                   lambda i: (i, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((nb, N_STATE, rows, LANE),
-                                           dtype),
-            interpret=interpret,
-        )(packed)
-
+    def _run(state: WholeBodyState, extra, dt: float, n_substeps: int):
+        dtype = state.x.dtype
+        batch = state.x.shape[:-1]
+        B = 1
+        for d in batch:
+            B *= int(d)
+        comps, extras, n_comp = _state_comps(state, extra, batch, B, dtype)
+        tile = rows * LANE
+        comps, B_pad = _pad_comps(comps, n_comp, B, tile, dtype)
+        packed_in = [_pack(comps, rows)]
+        for e in extras:
+            if B_pad != B:
+                e = jnp.concatenate(
+                    [e, jnp.zeros((B_pad - B, e.shape[-1]), dtype)],
+                    axis=0)
+            packed_in.append(_pack(e, rows))
+        out = _call_packed(packed_in, n_comp, dt, n_substeps)
         flat = _unpack(out)[:B]
         return WholeBodyState(
             R=flat[:, 0:9].reshape(batch + (3, 3)),
@@ -842,6 +854,28 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
             q=flat[:, 30:42].reshape(batch + (4, 3)),
             anchor=flat[:, 42:58].reshape(batch + (8, 2)),
         )
+
+    if torque_input == "tau":
+        @partial(jax.jit, static_argnames=("dt", "n_substeps"))
+        def stepper(state: WholeBodyState, tau, dt: float,
+                    n_substeps: int):
+            return _run(state, (tau,), dt, n_substeps)
+    else:
+        @partial(jax.jit, static_argnames=("dt", "n_substeps"))
+        def stepper(state: WholeBodyState, f_world, tau_swing, stance,
+                    dt: float, n_substeps: int):
+            return _run(state, (f_world, tau_swing, stance), dt,
+                        n_substeps)
+
+        def stepper_packed(state_p, fw_p, tausw_p, st_p, dt: float,
+                           n_substeps: int):
+            """Packed fast path: (nb, 58|274, rows, 128) state tiles in,
+            (nb, 58, rows, 128) out — zero XLA glue between kernels
+            (sim/pallas_tick.py)."""
+            return _call_packed([state_p, fw_p, tausw_p, st_p],
+                                state_p.shape[1], dt, n_substeps)
+
+        stepper.packed = stepper_packed
 
     stepper.build_factor_sym = build_factor_sym  # exposed for tests
     return stepper

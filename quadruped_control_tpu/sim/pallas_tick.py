@@ -1,0 +1,234 @@
+"""The whole-body closed-loop tick as three chained Pallas kernels.
+
+The reference runs its validation loop as two OS processes exchanging
+topics at 100-600 Hz (commander_node.cpp + drake_interface_node.cpp,
+SURVEY.md §3.1-3.2). ``control/commander.py`` + ``sim/plant.py`` already
+fuse that into one jitted scan; this module removes the remaining XLA glue
+around the kernels. One control tick is exactly three ``pallas_call``s:
+
+  1. commander-pre (control/pallas_commander.py): measurement, FK, the
+     standing/gait state machine, Raibert planning, sextic tracking, IK,
+     swing PD -> packed QP precursors + swing torques + new carry;
+  2. the fused GRF-QP kernel (solver/pallas_fused.py) consuming those
+     packed tiles directly;
+  3. the whole-body substep kernel (sim/pallas_substep.py,
+     ``torque_input="qp"``): torque mapping (J^T f, stance/swing merge,
+     optional gravity compensation, clamping) as the prologue, then the
+     N-substep physics loop.
+
+Everything between kernels stays in the packed ``(nb, k, rows, 128)`` lane
+layout — the scan carry IS the packed tensors, so the XLA side of the loop
+body is literally nothing but the three kernel dispatches. Packing happens
+once per rollout at the boundary.
+
+Parity: tests/test_pallas_tick.py checks the fused tick against the XLA
+commander + QP-kernel + substep-kernel composition in float64 interpret
+mode, and closed-loop behavior (stand-up, trot) on device in f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quadruped_control_tpu.config import ControlConfig
+from quadruped_control_tpu.control.commander import CommanderCarry
+from quadruped_control_tpu.control.pallas_commander import (
+    N_CARRY,
+    CommanderConsts,
+    commander_pre_pallas_packed,
+    pack_commander_carry,
+    pack_comps,
+    unpack_commander_carry,
+    unpack_comps,
+)
+from quadruped_control_tpu.sim.model import WholeBodyModel
+from quadruped_control_tpu.sim.pallas_substep import (
+    LANE,
+    N_STATE,
+    make_pallas_stepper,
+)
+from quadruped_control_tpu.sim.plant import ContactConfig, WholeBodyState
+from quadruped_control_tpu.solver.pallas_fused import (
+    solve_grf_qp_fused_packed,
+)
+
+
+class FusedRolloutTrace(NamedTuple):
+    """Per-tick trace of the fused loop (a light cousin of
+    control/rollout.RolloutTrace — torques never leave the kernel)."""
+
+    x: jnp.ndarray  # (steps, ..., 3) base position
+    standing: jnp.ndarray  # (steps, ...)
+    in_stance: jnp.ndarray  # (steps, ..., 4) effective stance mask
+    qp_converged: jnp.ndarray  # (steps, ...)
+
+
+class FusedWholeBodyResult(NamedTuple):
+    plant: WholeBodyState
+    carry: CommanderCarry
+    trace: FusedRolloutTrace | None
+
+
+def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
+                    contact: ContactConfig = ContactConfig(), *,
+                    rows: int = 8, qp_iterations: int = 12,
+                    qp_polish: bool = True, contact_gate: float = 0.0,
+                    raibert_cmd_symmetric: bool = False,
+                    gravity_comp: bool = False, interpret: bool = False):
+    """Build the fused tick: ``tick(state_p, carry_p, cmd_p, dt,
+    n_substeps) -> (state_p, carry_p, diag_p)`` on packed tiles.
+
+    Model/config constants are snapshot here (call outside jit). The
+    returned callable also carries ``.consts`` and ``.stepper``.
+    """
+    consts = CommanderConsts(cfg, dt=1.0 / cfg.frequency)
+    stepper = make_pallas_stepper(
+        model, cfg, contact, rows=rows, interpret=interpret,
+        prefactor="kernel", torque_input="qp", gravity_comp=gravity_comp)
+    s_diag = tuple(cfg.balance.s_diag)
+    w_diag = float(cfg.balance.w_diag)
+
+    def tick(state_p, carry_p, cmd_p, dt: float, n_substeps: int):
+        (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
+         _qref_p) = commander_pre_pallas_packed(
+            state_p, carry_p, cmd_p, consts=consts, rows=rows,
+            contact_gate=contact_gate,
+            raibert_cmd_symmetric=raibert_cmd_symmetric,
+            interpret=interpret)
+        x_p, _s_p, _z_p, diag_p = solve_grf_qp_fused_packed(
+            r_p, b_p, st_p, mu_p, fmin_p, fmax_p, s_diag=s_diag,
+            w_diag=w_diag, iterations=qp_iterations, polish=qp_polish,
+            rows=rows, interpret=interpret)
+        state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
+                                     tausw_p, st_p, dt, n_substeps)
+        return state_new_p, carry_new_p, (st_p, diag_p)
+
+    tick.consts = consts
+    tick.stepper = stepper
+    tick.rows = rows
+    return tick
+
+
+def pack_whole_body_state(state: WholeBodyState, rows: int):
+    """WholeBodyState -> packed (nb, 58, rows, 128); pads with the free-
+    falling-at-altitude pattern (finite on every kernel path)."""
+    batch = state.x.shape[:-1]
+    dtype = state.x.dtype
+    B = 1
+    for d in batch:
+        B *= int(d)
+    comps = jnp.concatenate([
+        state.R.reshape(batch + (9,)),
+        state.x,
+        state.u,
+        state.q.reshape(batch + (12,)),
+        state.anchor.reshape(batch + (16,)),
+    ], axis=-1).reshape(B, N_STATE)
+    tile = rows * LANE
+    B_pad = ((B + tile - 1) // tile) * tile
+    if B_pad != B:
+        pad = jnp.zeros((B_pad - B, N_STATE), dtype)
+        pad = pad.at[:, 0].set(1.0).at[:, 4].set(1.0).at[:, 8].set(1.0)
+        pad = pad.at[:, 11].set(100.0)
+        comps = jnp.concatenate([comps, pad], axis=0)
+    return pack_comps(comps, rows), B_pad
+
+
+def unpack_whole_body_state(state_p, batch_shape) -> WholeBodyState:
+    flat = unpack_comps(state_p)
+    B = 1
+    for d in batch_shape:
+        B *= int(d)
+    flat = flat[:B]
+    return WholeBodyState(
+        R=flat[:, 0:9].reshape(batch_shape + (3, 3)),
+        x=flat[:, 9:12].reshape(batch_shape + (3,)),
+        u=flat[:, 12:30].reshape(batch_shape + (18,)),
+        q=flat[:, 30:42].reshape(batch_shape + (4, 3)),
+        anchor=flat[:, 42:58].reshape(batch_shape + (8, 2)),
+    )
+
+
+@partial(jax.jit, static_argnames=("steps", "n_substeps", "tick", "record"))
+def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
+                             cmd_twist, steps: int, tick,
+                             n_substeps: int = 10,
+                             record: bool = False) -> FusedWholeBodyResult:
+    """Run ``steps`` fused control ticks (drop-in sibling of
+    sim/rollout.rollout_whole_body for the balance-QP controller).
+
+    Args:
+      tick: built by :func:`make_fused_tick` (static; bakes cfg/model).
+      cmd_twist: (..., 6), broadcast over the batch.
+    """
+    rows = tick.rows
+    dt = tick.consts.dt
+    batch = plant.x.shape[:-1]
+    dtype = plant.x.dtype
+    B = 1
+    for d in batch:
+        B *= int(d)
+
+    state_p, B_pad = pack_whole_body_state(plant, rows)
+    carry_flat = jax.tree.map(
+        lambda a: jnp.broadcast_to(
+            a, batch + a.shape[len(batch):]).reshape(
+                (B,) + a.shape[len(batch):]),
+        carry)
+    if B_pad != B:
+        carry_flat = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((B_pad - B,) + a.shape[1:], a.dtype)],
+                axis=0),
+            carry_flat)
+    carry_p = pack_commander_carry(carry_flat, rows, B_pad)
+    cmd = jnp.broadcast_to(jnp.asarray(cmd_twist, dtype), batch + (6,))
+    cmd = cmd.reshape(B, 6)
+    if B_pad != B:
+        cmd = jnp.concatenate([cmd, jnp.zeros((B_pad - B, 6), dtype)],
+                              axis=0)
+    cmd_p = pack_comps(cmd, rows)
+
+    def body(sc, _):
+        state_p, carry_p = sc
+        state_p, carry_p, (st_p, diag_p) = tick(state_p, carry_p, cmd_p,
+                                                dt, n_substeps)
+        out = None
+        if record:
+            out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
+        return (state_p, carry_p), out
+
+    (state_p, carry_p), rec = lax.scan(body, (state_p, carry_p), None,
+                                       length=steps)
+
+    trace = None
+    if record:
+        x_r, standing_r, st_r, conv_r = rec
+
+        def unp(a, tail):
+            # (steps, nb, k, rows, LANE) -> (steps, batch..., k)
+            s = a.shape[0]
+            flat = a.transpose(0, 1, 3, 4, 2).reshape(s, B_pad, -1)[:, :B]
+            return flat.reshape((s,) + batch + tail)
+
+        trace = FusedRolloutTrace(
+            x=unp(x_r, (3,)),
+            standing=unp(standing_r[:, :, None], (1,))[..., 0] > 0.5,
+            in_stance=unp(st_r, (4,)) > 0.5,
+            qp_converged=unp(conv_r[:, :, None], (1,))[..., 0] > 0.5,
+        )
+
+    carry_out = unpack_commander_carry(
+        carry_p, batch,
+        jax.tree.map(lambda a: jnp.broadcast_to(
+            a, batch + a.shape[len(batch):]), carry))
+    return FusedWholeBodyResult(
+        plant=unpack_whole_body_state(state_p, batch),
+        carry=carry_out,
+        trace=trace,
+    )

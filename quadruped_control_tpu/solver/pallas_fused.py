@@ -856,54 +856,21 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
     rows * 128.
     """
     B = r_masked.shape[0]
-    nb = B // (rows * LANE)
     rp, bp, stp, mup, fminp, fmaxp = _prep_inputs(
         r_masked, b, stance, mu, fz_min, fz_max, rows)
     inputs = [rp, bp, stp, mup, fminp, fmaxp]
-    in_specs = [_vec_spec(N, rows), _vec_spec(6, rows), _vec_spec(4, rows),
-                _vec_spec(1, rows), _vec_spec(1, rows), _vec_spec(1, rows)]
-    has_warm = warm is not None
-    if has_warm:
+    if warm is not None:
         assert iterations == 0, "warm start implies polish-only mode"
         xw, sw, zw = warm
         inputs += [_pack_rows(xw.astype(jnp.float32), N, rows),
                    _pack_rows(sw.astype(jnp.float32), M, rows),
                    _pack_rows(zw.astype(jnp.float32), M, rows)]
-        in_specs += [_vec_spec(N, rows), _vec_spec(M, rows),
-                     _vec_spec(M, rows)]
 
-    kern = partial(
-        _fused_kernel_entry,
-        s_diag=tuple(float(v) for v in s_diag), w_diag=float(w_diag),
-        swing_relax=float(swing_relax), iterations=iterations, tau=tau,
-        tol=tol, polish=polish, polish_sweeps=polish_sweeps,
-        polish_refine=polish_refine, has_warm=has_warm)
-
-    xo, so, zo, diag = pl.pallas_call(
-        kern,
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=[_vec_spec(N, rows), _vec_spec(M, rows), _vec_spec(M, rows),
-                   _vec_spec(_N_DIAG, rows)],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, N, rows, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, M, rows, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, M, rows, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, _N_DIAG, rows, LANE), jnp.float32),
-        ],
-        # The packed-triangular LDL^T scratch is only needed when polishing
-        # (the VMEM budget item: 666 tiles = 2.7 MB at rows=8, 5.5 MB at
-        # rows=16).
-        scratch_shapes=(
-            [
-                pltpu.VMEM((_NK_TRI, rows, LANE), jnp.float32),
-                pltpu.VMEM((NK, rows, LANE), jnp.float32),
-                pltpu.VMEM((NK, rows, LANE), jnp.float32),
-            ]
-            if polish else []
-        ),
-        interpret=interpret,
-    )(*inputs)
+    xo, so, zo, diag = solve_grf_qp_fused_packed(
+        *inputs, s_diag=s_diag, w_diag=w_diag, swing_relax=swing_relax,
+        iterations=iterations, polish=polish, polish_sweeps=polish_sweeps,
+        polish_refine=polish_refine, tol=tol, tau=tau, rows=rows,
+        interpret=interpret)
 
     x = _unpack_rows(xo)
     s = _unpack_rows(so)
@@ -914,6 +881,77 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
         gap=d[:, 4], primal_residual=d[:, 2], dual_residual=d[:, 3],
         converged=d[:, 1] > 0.5,
     )
+
+
+def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
+                              s_diag, w_diag, swing_relax=SWING_ROW_RELAX,
+                              iterations: int = 20, polish: bool = True,
+                              polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
+                              polish_refine: int = _POLISH_REFINE,
+                              tol: float = 3e-5, tau: float = 0.995,
+                              rows: int = SUB, interpret: bool = False):
+    """The fused GRF-QP kernel on PRE-PACKED (nb, k, rows, 128) tiles.
+
+    The zero-copy entry for producers that already live in the packed lane
+    layout (the fused commander kernel, sim/pallas_tick.py): no XLA pack /
+    unpack transposes on either side. Returns packed (x, s, z, diag) with
+    diag rows [cert, conv, pr, dr, gap, 0] (see _fused_kernel).
+
+    ``warm_packed``: optional packed (x, s, z) triple for polish-only mode
+    (iterations == 0).
+
+    The kernel is float32 internally (its literals and freeze thresholds
+    are f32); inputs are cast here — a no-op on device, where the whole
+    pipeline is f32 anyway.
+    """
+    nb = rp.shape[0]
+    dtype = jnp.float32
+    rp, bp, stp, mup, fminp, fmaxp = (
+        a.astype(dtype) for a in (rp, bp, stp, mup, fminp, fmaxp))
+    warm_packed = tuple(a.astype(dtype) for a in warm_packed)
+    inputs = [rp, bp, stp, mup, fminp, fmaxp]
+    in_specs = [_vec_spec(N, rows), _vec_spec(6, rows), _vec_spec(4, rows),
+                _vec_spec(1, rows), _vec_spec(1, rows), _vec_spec(1, rows)]
+    has_warm = len(warm_packed) == 3
+    if warm_packed and not has_warm:
+        raise ValueError("warm_packed must be a full (x, s, z) triple")
+    if has_warm:
+        inputs += list(warm_packed)
+        in_specs += [_vec_spec(N, rows), _vec_spec(M, rows),
+                     _vec_spec(M, rows)]
+
+    kern = partial(
+        _fused_kernel_entry,
+        s_diag=tuple(float(v) for v in s_diag), w_diag=float(w_diag),
+        swing_relax=float(swing_relax), iterations=iterations, tau=tau,
+        tol=tol, polish=polish, polish_sweeps=polish_sweeps,
+        polish_refine=polish_refine, has_warm=has_warm)
+
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[_vec_spec(N, rows), _vec_spec(M, rows), _vec_spec(M, rows),
+                   _vec_spec(_N_DIAG, rows)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, N, rows, LANE), dtype),
+            jax.ShapeDtypeStruct((nb, M, rows, LANE), dtype),
+            jax.ShapeDtypeStruct((nb, M, rows, LANE), dtype),
+            jax.ShapeDtypeStruct((nb, _N_DIAG, rows, LANE), dtype),
+        ],
+        # The packed-triangular LDL^T scratch is only needed when polishing
+        # (the VMEM budget item: 666 tiles = 2.7 MB at rows=8, 5.5 MB at
+        # rows=16).
+        scratch_shapes=(
+            [
+                pltpu.VMEM((_NK_TRI, rows, LANE), dtype),
+                pltpu.VMEM((NK, rows, LANE), dtype),
+                pltpu.VMEM((NK, rows, LANE), dtype),
+            ]
+            if polish else []
+        ),
+        interpret=interpret,
+    )(*inputs)
 
 
 def _fused_kernel_entry(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
