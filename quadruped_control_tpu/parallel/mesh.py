@@ -112,3 +112,36 @@ def shard_rollout_whole_body(mesh: Mesh, cfg, model, contact=None,
         )(plant, carry, cmd_twist)
 
     return run
+
+
+def shard_rollout_whole_body_fused(mesh: Mesh, tick, n_substeps: int = 10):
+    """Scenario-sharded fused 3-kernel closed loop (sim/pallas_tick.py).
+
+    Returns ``run(plant, carry, cmd_twist, steps)``. Each device runs the
+    commander-pre -> QP -> substep kernel chain on its local shard
+    (per-shard batch pads to the tick's rows*128 tile internally, so size
+    shards to the tile multiple to avoid padded work). Pure data
+    parallelism, communication-free, like :func:`shard_rollout_whole_body`.
+    ``cmd_twist`` must carry the full batch shape (it is sharded too).
+    """
+    from jax import shard_map
+
+    from quadruped_control_tpu.sim.pallas_tick import (
+        rollout_whole_body_fused,
+    )
+
+    spec = P(SCENARIO_AXIS)
+
+    def run(plant, carry, cmd_twist, steps: int):
+        def local(p, c, cmd):
+            return rollout_whole_body_fused(p, c, cmd, steps, tick,
+                                            n_substeps=n_substeps,
+                                            record=False)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )(plant, carry, cmd_twist)
+
+    return run

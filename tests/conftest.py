@@ -36,3 +36,19 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA CPU programs in one process;
+    around the ~100th compilation the LLVM JIT segfaults inside
+    backend_compile_and_load (jaxlib 0.9.0; reproducible at
+    test_warm_start when the whole suite runs, while every subset and the
+    file alone pass). Releasing executables module-by-module keeps the
+    live-code footprint bounded; cross-module recompiles are cheap because
+    modules rarely share jitted signatures.
+    """
+    yield
+    jax.clear_caches()

@@ -356,3 +356,31 @@ def test_rollout_whole_body_fused_standup():
     assert res.trace.x.shape == (20, Bs, 3)
     # And the trace in_stance is all-stance before the gait clock runs.
     assert np.asarray(res.trace.in_stance).all()
+
+
+def test_sharded_fused_rollout_matches_single():
+    """shard_map'd fused tick over the 8-device CPU mesh == unsharded
+    (communication-free data parallelism; parallel/mesh.py)."""
+    from quadruped_control_tpu.parallel.mesh import (
+        scenario_mesh,
+        shard_rollout_whole_body_fused,
+    )
+
+    Bs = 16  # 2 per device; each shard pads to one tile internally
+    wb = init_whole_body_state(CFG, (Bs,), dtype=F64)
+    carry = init_commander_carry((Bs,), dtype=F64)
+    cmd = jnp.zeros((Bs, 6), F64)
+
+    run = shard_rollout_whole_body_fused(scenario_mesh(), _TICK,
+                                         n_substeps=N_SUB)
+    res_sh = run(wb, carry, cmd, 3)
+    res_1 = rollout_whole_body_fused(wb, carry, cmd, 3, _TICK,
+                                     n_substeps=N_SUB, record=False)
+    for name in ("R", "x", "u", "q", "anchor"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(res_sh.plant, name)),
+            np.asarray(getattr(res_1.plant, name)), atol=1e-12,
+            err_msg=name)
+    np.testing.assert_allclose(np.asarray(res_sh.carry.gait_time),
+                               np.asarray(res_1.carry.gait_time),
+                               atol=1e-12)
