@@ -85,6 +85,11 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
 
     Model/config constants are snapshot here (call outside jit). The
     returned callable also carries ``.consts`` and ``.stepper``.
+
+    ``rows`` is the tile height (batch pads to rows*128): 16 measures ~10%
+    faster than 8 at batch >= 4096 on v5e (0.130 vs 0.145 ms/tick) with
+    BITWISE-identical results — per-lane math is tile-height-independent;
+    use 8 for small batches to halve padding.
     """
     consts = CommanderConsts(cfg, dt=1.0 / cfg.frequency)
     stepper = make_pallas_stepper(
