@@ -77,7 +77,8 @@ class FusedWholeBodyResult(NamedTuple):
 def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                     contact: ContactConfig = ContactConfig(), *,
                     rows: int = 8, qp_iterations: int = 12,
-                    qp_polish: bool = True, contact_gate: float = 0.0,
+                    qp_polish: bool = True, qp_warm_start: bool = False,
+                    contact_gate: float = 0.0,
                     raibert_cmd_symmetric: bool = False,
                     gravity_comp: bool = False, interpret: bool = False):
     """Build the fused tick: ``tick(state_p, carry_p, cmd_p, dt,
@@ -90,6 +91,17 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
     faster than 8 at batch >= 4096 on v5e (0.130 vs 0.145 ms/tick) with
     BITWISE-identical results — per-lane math is tile-height-independent;
     use 8 for small batches to halve padding.
+
+    ``qp_warm_start=True`` threads the QP solution (x, s, z) and the
+    stance mask through the scan carry and warm-starts the barrier from
+    the previous tick's solution (stance-transition rows reset cold) — the
+    reference's qpOASES hotstart economics (balance_controller.cpp:193-195)
+    inside the kernel. The tick signature becomes ``tick(state_p, carry_p,
+    warm_p, cmd_p, dt, n_substeps) -> (state_p, carry_p, warm_p, diag_p)``
+    with ``warm_p = (x_p, s_p, z_p, st_p)``; build the first-tick carry
+    with :func:`init_qp_warm_packed` (zeros + st=-1 == cold start). Use
+    roughly half the cold ``qp_iterations`` (tests/test_warm_start.py's
+    economics on the jnp backend).
     """
     consts = CommanderConsts(cfg, dt=1.0 / cfg.frequency)
     stepper = make_pallas_stepper(
@@ -98,25 +110,61 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
     s_diag = tuple(cfg.balance.s_diag)
     w_diag = float(cfg.balance.w_diag)
 
-    def tick(state_p, carry_p, cmd_p, dt: float, n_substeps: int):
-        (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
-         _qref_p) = commander_pre_pallas_packed(
+    def commander_pre(state_p, carry_p, cmd_p):
+        return commander_pre_pallas_packed(
             state_p, carry_p, cmd_p, consts=consts, rows=rows,
             contact_gate=contact_gate,
             raibert_cmd_symmetric=raibert_cmd_symmetric,
             interpret=interpret)
-        x_p, _s_p, _z_p, diag_p = solve_grf_qp_fused_packed(
-            r_p, b_p, st_p, mu_p, fmin_p, fmax_p, s_diag=s_diag,
-            w_diag=w_diag, iterations=qp_iterations, polish=qp_polish,
-            rows=rows, interpret=interpret)
-        state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
-                                     tausw_p, st_p, dt, n_substeps)
-        return state_new_p, carry_new_p, (st_p, diag_p)
+
+    if qp_warm_start:
+        def tick(state_p, carry_p, warm_p, cmd_p, dt: float,
+                 n_substeps: int):
+            (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
+             _qref_p) = commander_pre(state_p, carry_p, cmd_p)
+            xw_p, sw_p, zw_p, stprev_p = warm_p
+            x_p, s_p, z_p, diag_p = solve_grf_qp_fused_packed(
+                r_p, b_p, st_p, mu_p, fmin_p, fmax_p,
+                xw_p, sw_p, zw_p, stprev_p, s_diag=s_diag,
+                w_diag=w_diag, iterations=qp_iterations, polish=qp_polish,
+                rows=rows, interpret=interpret)
+            state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
+                                         tausw_p, st_p, dt, n_substeps)
+            # The QP kernel computes f32 regardless of the plant dtype, so
+            # the warm carry is uniformly f32 (st_p may be f64 interpret).
+            warm_new_p = (x_p, s_p, z_p, st_p.astype(jnp.float32))
+            return state_new_p, carry_new_p, warm_new_p, (st_p, diag_p)
+    else:
+        def tick(state_p, carry_p, cmd_p, dt: float, n_substeps: int):
+            (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
+             _qref_p) = commander_pre(state_p, carry_p, cmd_p)
+            x_p, _s_p, _z_p, diag_p = solve_grf_qp_fused_packed(
+                r_p, b_p, st_p, mu_p, fmin_p, fmax_p, s_diag=s_diag,
+                w_diag=w_diag, iterations=qp_iterations, polish=qp_polish,
+                rows=rows, interpret=interpret)
+            state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
+                                         tausw_p, st_p, dt, n_substeps)
+            return state_new_p, carry_new_p, (st_p, diag_p)
 
     tick.consts = consts
     tick.stepper = stepper
     tick.rows = rows
+    tick.warm_start = qp_warm_start
     return tick
+
+
+def init_qp_warm_packed(nb: int, rows: int, dtype=jnp.float32):
+    """First-tick warm carry for a ``qp_warm_start`` fused tick: zero
+    (x, s, z) plus st_prev = -1 marks every cone row stale, which the
+    kernel resets cold — tick 1 is bitwise the cold start.
+
+    dtype should stay float32: the QP kernel computes (and returns) f32
+    even on an f64 interpret path, and the scan carry structure must match
+    the tick's outputs."""
+    from quadruped_control_tpu.solver.pallas_ipm import M as _M, N as _N
+    shp = lambda k: (nb, k, rows, LANE)  # noqa: E731
+    return (jnp.zeros(shp(_N), dtype), jnp.zeros(shp(_M), dtype),
+            jnp.zeros(shp(_M), dtype), -jnp.ones(shp(4), dtype))
 
 
 def pack_whole_body_state(state: WholeBodyState, rows: int):
@@ -199,17 +247,33 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
                               axis=0)
     cmd_p = pack_comps(cmd, rows)
 
-    def body(sc, _):
-        state_p, carry_p = sc
-        state_p, carry_p, (st_p, diag_p) = tick(state_p, carry_p, cmd_p,
-                                                dt, n_substeps)
-        out = None
-        if record:
-            out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
-        return (state_p, carry_p), out
+    warm = getattr(tick, "warm_start", False)
 
-    (state_p, carry_p), rec = lax.scan(body, (state_p, carry_p), None,
-                                       length=steps)
+    if warm:
+        def body(sc, _):
+            state_p, carry_p, warm_p = sc
+            state_p, carry_p, warm_p, (st_p, diag_p) = tick(
+                state_p, carry_p, warm_p, cmd_p, dt, n_substeps)
+            out = None
+            if record:
+                out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
+            return (state_p, carry_p, warm_p), out
+
+        warm_p0 = init_qp_warm_packed(state_p.shape[0], rows, jnp.float32)
+        (state_p, carry_p, _), rec = lax.scan(
+            body, (state_p, carry_p, warm_p0), None, length=steps)
+    else:
+        def body(sc, _):
+            state_p, carry_p = sc
+            state_p, carry_p, (st_p, diag_p) = tick(state_p, carry_p, cmd_p,
+                                                    dt, n_substeps)
+            out = None
+            if record:
+                out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
+            return (state_p, carry_p), out
+
+        (state_p, carry_p), rec = lax.scan(body, (state_p, carry_p), None,
+                                           length=steps)
 
     trace = None
     if record:

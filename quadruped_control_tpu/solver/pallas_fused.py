@@ -251,11 +251,14 @@ def _gty(Gs, zv, i):
     return acc
 
 
-def _barrier(Qs, cs, Gs, hs, *, iterations: int, tau: float):
+def _barrier(Qs, cs, Gs, hs, *, iterations: int, tau: float, init=None):
     """Structured-G port of pallas_ipm._kernel's Mehrotra loop.
 
     Same initialization, freeze thresholds, best-iterate tracking, and step
-    rules — only the G products use the sparse rows.
+    rules — only the G products use the sparse rows. ``init`` optionally
+    replaces the cold start with a warm (x, s, z) triple of tile lists in
+    EQUILIBRATED units (caller is responsible for the interior shift /
+    stale-row resets — see _fused_kernel's warm path).
     """
     f32 = jnp.float32
     eps = jnp.float32(1.1920929e-07)
@@ -263,9 +266,12 @@ def _barrier(Qs, cs, Gs, hs, *, iterations: int, tau: float):
     big = jnp.float32(3.0e38)
 
     one = jnp.ones_like(cs[0])
-    x = [jnp.zeros_like(cs[0]) for _ in range(N)]
-    s = [jnp.maximum(hs[r], 1.0) for r in range(M)]
-    z = [one / s[r] for r in range(M)]
+    if init is None:
+        x = [jnp.zeros_like(cs[0]) for _ in range(N)]
+        s = [jnp.maximum(hs[r], 1.0) for r in range(M)]
+        z = [one / s[r] for r in range(M)]
+    else:
+        x, s, z = (list(init[0]), list(init[1]), list(init[2]))
 
     obj_scale = cs[0] * 0.0 + 1.0
     for i in range(N):
@@ -660,10 +666,16 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                   *, s_diag, w_diag, swing_relax, iterations, tau, tol,
                   polish, polish_sweeps, polish_refine, warm_refs=None):
     """Kernel body. Modes: full (barrier + polish), barrier-only
-    (polish=False), polish-only (warm_refs given + iterations == 0 — the
+    (polish=False), polish-only (3-tuple warm_refs + iterations == 0 — the
     barrier is skipped and the warm (x, s, z) in ORIGINAL units seed the
-    polish). warm_refs lets a rows=32 barrier-only pass feed a rows=16
-    polish pass (the polish scratch caps its tile height)."""
+    polish; lets a rows=32 barrier-only pass feed a rows=16 polish pass,
+    since the polish scratch caps its tile height), and WARM-STARTED
+    barrier (4-tuple warm_refs (x, s, z, st_prev) + iterations > 0 — the
+    reference's qpOASES-hotstart economics, balance_controller.cpp:193-195,
+    for control streams: the previous tick's solution seeds the barrier
+    after a Mehrotra interior shift, and the 6 cone rows of any leg whose
+    stance flag changed since st_prev are reset to the cold start, exactly
+    solver/ipm.py solve_qp_ipm's warm_start + warm_reset_mask semantics)."""
     r = [[r_ref[3 * l + k] for k in range(3)] for l in range(4)]
     b = [b_ref[i] for i in range(6)]
     st = [st_ref[l] for l in range(4)]
@@ -676,10 +688,31 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
     Qs, cs, Gsr, hs, Dv, Er, nu = _equilibrate_tiles(Qu, c, Grow, h)
 
     if iterations > 0:
-        x, s, z = _barrier(Qs, cs, Gsr, hs, iterations=iterations, tau=tau)
+        init = None
+        if warm_refs is not None:
+            assert len(warm_refs) == 4, "warm barrier needs (x, s, z, st_prev)"
+            xin_ref, sin_ref, zin_ref, stprev_ref = warm_refs
+            # Original units -> equilibrated coordinates, then the interior
+            # shift (solver/ipm.py:262-265: a boundary start stalls the
+            # barrier) and the stance-transition row resets (ipm.py:266-269).
+            interior = jnp.float32(1e-2)
+            x0 = [xin_ref[i] / Dv[i] for i in range(N)]
+            s0 = [jnp.maximum(sin_ref[rr] * Er[rr], interior)
+                  for rr in range(M)]
+            z0 = [jnp.maximum(zin_ref[rr] * nu / Er[rr], interior)
+                  for rr in range(M)]
+            for rr in range(M):
+                leg = rr // 6
+                reset = jnp.abs(st[leg] - stprev_ref[leg]) > 0.5
+                s_cold = jnp.maximum(hs[rr], 1.0)
+                s0[rr] = jnp.where(reset, s_cold, s0[rr])
+                z0[rr] = jnp.where(reset, 1.0 / s_cold, z0[rr])
+            init = (x0, s0, z0)
+        x, s, z = _barrier(Qs, cs, Gsr, hs, iterations=iterations, tau=tau,
+                           init=init)
     else:
         assert warm_refs is not None, "polish-only mode needs a warm start"
-        xin_ref, sin_ref, zin_ref = warm_refs
+        xin_ref, sin_ref, zin_ref = warm_refs[:3]
         # Original units -> equilibrated coordinates.
         x = [xin_ref[i] / Dv[i] for i in range(N)]
         s = [jnp.maximum(sin_ref[rr] * Er[rr], jnp.float32(1e-30))
@@ -834,7 +867,7 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
                        polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
                        polish_refine: int = _POLISH_REFINE,
                        tol: float = 3e-5, tau: float = 0.995,
-                       rows: int = SUB, warm=None,
+                       rows: int = SUB, warm=None, warm_stance_prev=None,
                        interpret: bool = False) -> IPMSolution:
     """Fused assembly + solve of the batched GRF QP from raw SRB state.
 
@@ -848,9 +881,14 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
       rows: sublane height of the per-value tiles (8/16/32); taller tiles
         hide VPU latency (more independent instances per instruction) but
         multiply VMEM: the polish scratch is 5.3 MB at rows=8.
-      warm: optional (x, s, z) in ORIGINAL units for polish-only mode
-        (requires iterations == 0): the kernel re-assembles/equilibrates
-        and runs only the certified polish from the given point.
+      warm: optional (x, s, z) in ORIGINAL units. With iterations == 0:
+        polish-only mode — the kernel re-assembles/equilibrates and runs
+        only the certified polish from the given point. With
+        iterations > 0: WARM-STARTED barrier (the reference's hotstart
+        economics for control streams) — interior-shifted, with cone rows
+        reset cold for legs whose stance differs from ``warm_stance_prev``.
+      warm_stance_prev: (B, 4) stance mask the warm point was solved under
+        (warm-barrier mode only). Defaults to ``stance`` (no resets).
 
     Returns IPMSolution in original problem units; B must be a multiple of
     rows * 128.
@@ -860,11 +898,17 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
         r_masked, b, stance, mu, fz_min, fz_max, rows)
     inputs = [rp, bp, stp, mup, fminp, fmaxp]
     if warm is not None:
-        assert iterations == 0, "warm start implies polish-only mode"
         xw, sw, zw = warm
         inputs += [_pack_rows(xw.astype(jnp.float32), N, rows),
                    _pack_rows(sw.astype(jnp.float32), M, rows),
                    _pack_rows(zw.astype(jnp.float32), M, rows)]
+        if iterations > 0:
+            stw = stance if warm_stance_prev is None else warm_stance_prev
+            stw = jnp.broadcast_to(
+                jnp.asarray(stw, jnp.float32), (B, 4))
+            inputs += [_pack_rows(stw, 4, rows)]
+    else:
+        assert warm_stance_prev is None, "warm_stance_prev needs warm"
 
     xo, so, zo, diag = solve_grf_qp_fused_packed(
         *inputs, s_diag=s_diag, w_diag=w_diag, swing_relax=swing_relax,
@@ -898,7 +942,11 @@ def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
     diag rows [cert, conv, pr, dr, gap, 0] (see _fused_kernel).
 
     ``warm_packed``: optional packed (x, s, z) triple for polish-only mode
-    (iterations == 0).
+    (iterations == 0), or a packed (x, s, z, st_prev) 4-tuple for the
+    WARM-STARTED barrier (iterations > 0): the previous solution seeds the
+    barrier, with cone rows of legs whose stance changed vs ``st_prev``
+    reset cold. Passing zeros for (x, s, z) and -1 for st_prev reproduces
+    the cold start bitwise — the natural first-tick carry init.
 
     The kernel is float32 internally (its literals and freeze thresholds
     are f32); inputs are cast here — a no-op on device, where the whole
@@ -912,20 +960,30 @@ def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
     inputs = [rp, bp, stp, mup, fminp, fmaxp]
     in_specs = [_vec_spec(N, rows), _vec_spec(6, rows), _vec_spec(4, rows),
                 _vec_spec(1, rows), _vec_spec(1, rows), _vec_spec(1, rows)]
-    has_warm = len(warm_packed) == 3
+    has_warm = len(warm_packed) in (3, 4)
     if warm_packed and not has_warm:
-        raise ValueError("warm_packed must be a full (x, s, z) triple")
+        raise ValueError(
+            "warm_packed must be (x, s, z) or (x, s, z, st_prev)")
+    has_st_prev = len(warm_packed) == 4
+    if has_st_prev and iterations == 0:
+        raise ValueError("(x, s, z, st_prev) warm start needs iterations > 0")
+    if has_warm and not has_st_prev and iterations != 0:
+        raise ValueError("(x, s, z) warm is polish-only (iterations == 0); "
+                         "pass st_prev too for a warm-started barrier")
     if has_warm:
         inputs += list(warm_packed)
         in_specs += [_vec_spec(N, rows), _vec_spec(M, rows),
                      _vec_spec(M, rows)]
+        if has_st_prev:
+            in_specs += [_vec_spec(4, rows)]
 
     kern = partial(
         _fused_kernel_entry,
         s_diag=tuple(float(v) for v in s_diag), w_diag=float(w_diag),
         swing_relax=float(swing_relax), iterations=iterations, tau=tau,
         tol=tol, polish=polish, polish_sweeps=polish_sweeps,
-        polish_refine=polish_refine, has_warm=has_warm)
+        polish_refine=polish_refine, has_warm=has_warm,
+        has_st_prev=has_st_prev)
 
     return pl.pallas_call(
         kern,
@@ -955,13 +1013,13 @@ def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
 
 
 def _fused_kernel_entry(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
-                        *rest, has_warm=False, **kw):
+                        *rest, has_warm=False, has_st_prev=False, **kw):
     rest = list(rest)
     warm_refs = None
     if has_warm:
-        xin, sin, zin = rest[:3]
-        warm_refs = (xin[0], sin[0], zin[0])
-        rest = rest[3:]
+        n_w = 4 if has_st_prev else 3
+        warm_refs = tuple(w[0] for w in rest[:n_w])
+        rest = rest[n_w:]
     x_ref, s_ref, z_ref, diag_ref = rest[:4]
     scratch = rest[4:]
     Ksc, Dsc, usc = scratch if scratch else (None, None, None)

@@ -171,3 +171,43 @@ def test_prox_tail_lifts_convergence_interpret(rng):
     # Monotone: nothing certified gets lost.
     assert not bool(jnp.any(base.converged & ~prox.converged))
     assert bool(jnp.all(jnp.isfinite(prox.x)))
+
+
+def test_fused_warm_barrier_interpret(rng):
+    """Warm-started barrier mode (the reference's qpOASES hotstart
+    economics, balance_controller.cpp:193-195, in-kernel):
+
+      1. the zeros/st_prev=-1 warm carry is BITWISE the cold start
+         (first-tick init invariant of the warm fused tick);
+      2. restarting from a 12-iteration solution, 4 warm iterations
+         dominate 4 cold iterations and never degrade the seed's
+         objective beyond f32 noise.
+    """
+    cfg, s, r_masked, b, mu = _scenario_inputs(jax.random.key(13))
+    bal = cfg.balance
+    kw = dict(s_diag=tuple(bal.s_diag), w_diag=float(bal.w_diag),
+              mu=mu, fz_min=bal.fz_min, fz_max=bal.fz_max,
+              polish=False, interpret=True)
+
+    cold = pf.solve_grf_qp_fused(r_masked, b, s.stance, iterations=12, **kw)
+
+    warm0 = (jnp.zeros((B, 12)), jnp.zeros((B, 24)), jnp.zeros((B, 24)))
+    coldish = pf.solve_grf_qp_fused(
+        r_masked, b, s.stance, iterations=12, warm=warm0,
+        warm_stance_prev=-jnp.ones((B, 4)), **kw)
+    np.testing.assert_array_equal(np.asarray(cold.x), np.asarray(coldish.x))
+    np.testing.assert_array_equal(np.asarray(cold.z), np.asarray(coldish.z))
+    np.testing.assert_array_equal(np.asarray(cold.s), np.asarray(coldish.s))
+
+    warm4 = pf.solve_grf_qp_fused(
+        r_masked, b, s.stance, iterations=4,
+        warm=(cold.x, cold.s, cold.z), **kw)
+    cold4 = pf.solve_grf_qp_fused(r_masked, b, s.stance, iterations=4, **kw)
+    assert float(warm4.converged.mean()) >= float(cold4.converged.mean())
+
+    qp = assemble_qp_batch(s, cfg)
+    obj_seed = np.asarray(qp_objective(qp.Q, qp.c, cold.x), np.float64)
+    obj_warm = np.asarray(qp_objective(qp.Q, qp.c, warm4.x), np.float64)
+    # The warm restart may only refine (or hold) the seed's objective.
+    assert np.percentile(obj_warm - obj_seed, 99) < 1e-4 * (
+        1.0 + np.abs(obj_seed).max())

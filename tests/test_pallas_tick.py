@@ -58,6 +58,7 @@ from quadruped_control_tpu.sim import (
     whole_body_com_state,
 )
 from quadruped_control_tpu.sim.pallas_tick import (
+    init_qp_warm_packed,
     make_fused_tick,
     pack_whole_body_state,
     rollout_whole_body_fused,
@@ -356,6 +357,47 @@ def test_rollout_whole_body_fused_standup():
     assert res.trace.x.shape == (20, Bs, 3)
     # And the trace in_stance is all-stance before the gait clock runs.
     assert np.asarray(res.trace.in_stance).all()
+
+
+_TICK_WARM = make_fused_tick(MODEL, CFG, _CONTACT, rows=ROWS,
+                             qp_iterations=QP_IT, qp_polish=True,
+                             qp_warm_start=True, interpret=True)
+
+
+def test_warm_tick_first_tick_is_cold_start():
+    """The zero/st=-1 warm carry (init_qp_warm_packed) resets every cone
+    row, so tick 1 of a qp_warm_start tick is BITWISE the cold tick."""
+    Bs = 64
+    wb = init_whole_body_state(CFG, (Bs,), dtype=F64)
+    carry = init_commander_carry((Bs,), dtype=F64)
+    cmd = jnp.zeros((Bs, 6), F64)
+
+    res_c = rollout_whole_body_fused(wb, carry, cmd, 1, _TICK,
+                                     n_substeps=N_SUB, record=False)
+    res_w = rollout_whole_body_fused(wb, carry, cmd, 1, _TICK_WARM,
+                                     n_substeps=N_SUB, record=False)
+    for name in ("R", "x", "u", "q", "anchor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res_w.plant, name)),
+            np.asarray(getattr(res_c.plant, name)), err_msg=name)
+
+
+def test_warm_tick_rollout_standup():
+    """Closed loop through the WARM fused tick (the reference's hotstart
+    economics in-kernel, balance_controller.cpp:193-195): the stand-up
+    push works and the warm barrier keeps converging across stance
+    transitions and the standing latch."""
+    Bs = 64
+    wb = init_whole_body_state(CFG, (Bs,), dtype=F64)
+    carry = init_commander_carry((Bs,), dtype=F64)
+    cmd = jnp.zeros((Bs, 6), F64)
+    res = rollout_whole_body_fused(wb, carry, cmd, 20, _TICK_WARM,
+                                   n_substeps=N_SUB, record=True)
+    z0 = float(np.asarray(wb.x[:, 2]).mean())
+    z1 = float(np.asarray(res.plant.x[:, 2]).mean())
+    assert np.isfinite(np.asarray(res.plant.x)).all()
+    assert z1 > z0 + 0.005, (z0, z1)
+    assert np.asarray(res.trace.qp_converged).mean() > 0.99
 
 
 def test_sharded_fused_rollout_matches_single():
