@@ -291,6 +291,50 @@ def commander_precursors(com: ComState, joints: JointState,
     )
 
 
+def mpc_precursors(com: ComState, gait_time, walking, eff_stance,
+                   cmd_twist, cfg: ControlConfig, mpc_horizon: int,
+                   mpc_dt: float, contact_gate: float = 0.0):
+    """MPC input assembly shared by commander_step's ``controller="mpc"``
+    branch and the fused-tick parity tests (the XLA twin of the
+    commander-pre kernel's MPC precursor block,
+    control/pallas_commander.mpc_block_size layout).
+
+    Returns (xi0, xi_ref, yaw, stance_sched):
+      xi0: (..., 13) [rpy, x, w_world, xdot_world, 1] SRB-MPC state;
+      xi_ref: (..., N, 13) constant-twist reference
+        (mpc/horizon.make_reference_trajectory);
+      stance_sched: (..., N, 4) contact schedule sampled from the SAME
+        gait clock that produced this tick's stance mask (step 0 equals
+        gait.in_stance when walking); all-stance until the clock runs.
+        With contact gating, step 0 carries the measured-contact gate;
+        later steps stay clock-scheduled (the foot will have landed).
+    """
+    from quadruped_control_tpu.math.rotations import matrix_to_rpy
+    from quadruped_control_tpu.mpc.horizon import make_reference_trajectory
+
+    dtype = com.x.dtype
+    rpy = matrix_to_rpy(com.R)
+    ones = jnp.ones(com.x.shape[:-1] + (1,), dtype=dtype)
+    xi0 = jnp.concatenate([rpy, com.x, com.w, com.xdot, ones], axis=-1)
+
+    t0 = jnp.maximum(gait_time, 0.0)
+    t_hor = t0[..., None] + mpc_dt * jnp.arange(mpc_horizon, dtype=dtype)
+    gait_hor = gait_at_time(t_hor, cfg.gait, dtype=dtype)
+    stance_sched = jnp.where(walking[..., None, None],
+                             gait_hor.in_stance, True)
+    if contact_gate:
+        stance_sched = stance_sched.at[..., 0, :].set(
+            stance_sched[..., 0, :] & eff_stance)
+
+    # Constant-twist reference from the command (zero twist -> hold the
+    # current (x, y, yaw) and drive to the stand height: the stand_up
+    # path's MPC analogue).
+    cmd_eff = jnp.where(walking[..., None], cmd_twist, 0.0)
+    xi_ref = make_reference_trajectory(xi0, cmd_eff, mpc_horizon, mpc_dt,
+                                       target_height=cfg.stand.height)
+    return xi0, xi_ref, rpy[..., 2], stance_sched
+
+
 def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    cmd_twist, dt, cfg: ControlConfig,
                    qp_iterations: int = 15, qp_polish: bool = True,
@@ -377,37 +421,11 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
             converged=jnp.ones(com.x.shape[:-1], bool),
         )
     elif controller == "mpc":
-        from quadruped_control_tpu.mpc.horizon import (
-            make_reference_trajectory,
-            solve_mpc,
-        )
-        from quadruped_control_tpu.math.rotations import matrix_to_rpy
+        from quadruped_control_tpu.mpc.horizon import solve_mpc
 
-        rpy = matrix_to_rpy(com.R)
-        ones = jnp.ones(com.x.shape[:-1] + (1,), dtype=dtype)
-        xi0 = jnp.concatenate([rpy, com.x, com.w, com.xdot, ones], axis=-1)
-
-        # Contact schedule over the horizon from the same gait clock that
-        # produced this tick's stance mask (step 0 of the schedule equals
-        # gait.in_stance when walking); all-stance until the clock runs.
-        t0 = jnp.maximum(gait_time, 0.0)
-        t_hor = t0[..., None] + mpc_dt * jnp.arange(mpc_horizon, dtype=dtype)
-        gait_hor = gait_at_time(t_hor, gait_cfg, dtype=dtype)
-        stance_sched = jnp.where(walking[..., None, None],
-                                 gait_hor.in_stance, True)
-        if contact_gate:
-            # Gate the horizon's first step by measured contact; later
-            # steps stay clock-scheduled (the foot will have landed).
-            stance_sched = stance_sched.at[..., 0, :].set(
-                stance_sched[..., 0, :] & eff_stance)
-
-        # Constant-twist reference from the command (zero twist -> hold the
-        # current (x, y, yaw) and drive to the stand height: the stand_up
-        # path's MPC analogue).
-        cmd_eff = jnp.where(wmask, cmd_twist, 0.0)
-        xi_ref = make_reference_trajectory(xi0, cmd_eff, mpc_horizon, mpc_dt,
-                                           target_height=cfg.stand.height)
-        yaw = rpy[..., 2]
+        xi0, xi_ref, yaw, stance_sched = mpc_precursors(
+            com, gait_time, walking, eff_stance, cmd_twist, cfg,
+            mpc_horizon, mpc_dt, contact_gate=contact_gate)
         if mpc_backend == "riccati-pallas":
             from quadruped_control_tpu.mpc.pallas_riccati import (
                 solve_mpc_fused,

@@ -26,9 +26,12 @@ gait.cpp:127). Validated in float64 interpret mode and on-device f32 by
 tests/test_pallas_tick.py.
 
 Unsupported (assertion-guarded): ``weight_shift`` (needs erf — opt-in
-extension, measured trot no-op) and ``controller="mpc"`` (its own kernel,
-mpc/pallas_riccati.py). ``contact_gate`` and ``raibert_cmd_symmetric`` ARE
-supported as compile-time options.
+extension, measured trot no-op). ``contact_gate`` and
+``raibert_cmd_symmetric`` ARE supported as compile-time options, and
+``mpc_horizon > 0`` makes the kernel additionally emit the packed MPC
+precursor block (xi0, levers, the N-step stance schedule sampled in-kernel
+from the gait clock, the constant-twist reference) that chains straight
+into mpc/pallas_riccati's packed entry — the fused-tick MPC path.
 """
 
 from __future__ import annotations
@@ -272,9 +275,16 @@ def _wrap_pi(a):
     return w - np.pi
 
 
+def mpc_block_size(horizon: int) -> int:
+    """Comps of the packed MPC-precursor block: xi0 (13) | levers (12) |
+    stance schedule (4*N, t-major) | xi_ref (13*N, t-major)."""
+    return 25 + 17 * horizon
+
+
 def commander_pre_sym(c: CommanderConsts, load_state, load_carry, load_cmd,
                       *, contact_gate: float = 0.0,
-                      raibert_cmd_symmetric: bool = False):
+                      raibert_cmd_symmetric: bool = False,
+                      mpc_horizon: int = 0, mpc_dt: float = 0.0):
     """The tile-level commander-pre computation.
 
     Args:
@@ -589,7 +599,7 @@ def commander_pre_sym(c: CommanderConsts, load_state, load_carry, load_cmd,
                 carry_new[C_COEF + leg * 21 + k * 3 + ax] = \
                     coef[leg][k][ax]
 
-    return dict(
+    out = dict(
         r=r_out,
         b=[_conc(v, zero) for v in b_out],
         st=[jnp.where(eff_stance[leg], one, zero) for leg in range(4)],
@@ -601,10 +611,61 @@ def commander_pre_sym(c: CommanderConsts, load_state, load_carry, load_cmd,
         q_ref=list(q_ref),
     )
 
+    # 10. Optional MPC precursors (control/commander.py's controller="mpc"
+    #     stage, commander_node.cpp:507-508's hot-path slot): xi0, the
+    #     world foot levers, the N-step stance schedule sampled from the
+    #     SAME gait clock that produced this tick's stance mask
+    #     (ops/gait.gait_at_time at t0 + mpc_dt*k), and the constant-twist
+    #     reference (mpc/horizon.make_reference_trajectory) — everything
+    #     the Pallas Riccati kernel consumes, emitted in packed lane
+    #     layout so MPC chains as kernel 2 of the fused tick.
+    if mpc_horizon:
+        Nh = mpc_horizon
+        # rpy (math/rotations.matrix_to_rpy): roll = atan2(R21, R22),
+        # pitch = asin(-R20) = atan2(-R20, sqrt(1 - R20^2)), yaw as above.
+        r20 = _conc(R[6], zero)
+        roll = sl.atan2(_conc(R[7], zero), _conc(R[8], zero))
+        pitch = sl.atan2(-r20, jnp.sqrt(jnp.maximum(1.0 - r20 * r20,
+                                                    zero)))
+        yaw_c = _conc(yaw, zero)
+        w_wc = [_conc(w_w[i], zero) for i in range(3)]
+        xd_wc = [_conc(xdot_w[i], zero) for i in range(3)]
+        xi0 = [roll, pitch, yaw_c, _conc(x[0], zero), _conc(x[1], zero),
+               _conc(x[2], zero)] + w_wc + xd_wc + [one]
+        mpc = list(xi0)
+        for leg in range(4):
+            for ax in range(3):
+                mpc.append(_conc(pcom_foot[leg][ax], zero))
+        # Stance schedule: all-stance until the gait clock runs
+        # (control/commander.py: where(walking, gait_hor.in_stance, True));
+        # with contact gating, step 0 carries the gated mask.
+        for t in range(Nh):
+            tk = t_gait + mpc_dt * t
+            for leg in range(4):
+                ph = c.offsets[leg] + tk * (1.0 / c.period)
+                ph = ph - jnp.floor(ph)
+                stl = (ph <= c.stance_thresh) | ~walking
+                if contact_gate and t == 0:
+                    stl = stl & eff_stance[leg]
+                mpc.append(jnp.where(stl, one, zero))
+        # Constant-twist reference from cmd_eff = walking ? cmd : 0.
+        vx = jnp.where(walking, _conc(cmd[0], zero), zero)
+        vy = jnp.where(walking, _conc(cmd[1], zero), zero)
+        wz = jnp.where(walking, _conc(cmd[5], zero), zero)
+        for t in range(Nh):
+            tt = mpc_dt * (t + 1)
+            ref = [zero, zero, yaw_c + tt * wz,
+                   xi0[3] + tt * vx, xi0[4] + tt * vy, zero + c.stand_h,
+                   zero, zero, wz, vx, vy, zero, one]
+            mpc.extend(ref)
+        out["mpc"] = mpc
+    return out
+
 
 def _pre_kernel(state_ref, carry_ref, cmd_ref, r_ref, b_ref, st_ref,
                 mu_ref, fmin_ref, fmax_ref, tausw_ref, carry_out_ref,
-                qref_ref, *, consts, contact_gate, raibert_cmd_symmetric):
+                qref_ref, *maybe_mpc_ref, consts, contact_gate,
+                raibert_cmd_symmetric, mpc_horizon=0, mpc_dt=0.0):
     out = commander_pre_sym(
         consts,
         lambda i: state_ref[0, i],
@@ -612,7 +673,13 @@ def _pre_kernel(state_ref, carry_ref, cmd_ref, r_ref, b_ref, st_ref,
         lambda i: cmd_ref[0, i],
         contact_gate=contact_gate,
         raibert_cmd_symmetric=raibert_cmd_symmetric,
+        mpc_horizon=mpc_horizon,
+        mpc_dt=mpc_dt,
     )
+    if mpc_horizon:
+        (mpc_ref,) = maybe_mpc_ref
+        for i in range(mpc_block_size(mpc_horizon)):
+            mpc_ref[0, i] = out["mpc"][i]
     for i in range(12):
         r_ref[0, i] = out["r"][i]
         tausw_ref[0, i] = out["tau_swing"][i]
@@ -635,18 +702,23 @@ def _spec(k, rows):
 def commander_pre_pallas_packed(state_p, carry_p, cmd_p, *, consts,
                                 rows: int = 8, contact_gate: float = 0.0,
                                 raibert_cmd_symmetric: bool = False,
+                                mpc_horizon: int = 0, mpc_dt: float = 0.0,
                                 interpret: bool = False):
     """Run the commander-pre kernel on PACKED (nb, k, rows, 128) tensors.
 
     ``state_p`` needs >= N_STATE_USED leading comps laid out as in
     sim/pallas_substep (the full 58-comp substep state tensor works as-is).
     Returns packed (r, b, st, mu, fz_min, fz_max, tau_swing, carry, q_ref).
+    With ``mpc_horizon > 0`` a tenth tensor is appended: the packed MPC
+    precursor block (see :func:`mpc_block_size`) that
+    mpc/pallas_riccati.solve_mpc_qp_riccati_packed consumes directly.
     """
     nb = state_p.shape[0]
     dtype = state_p.dtype
     kern = partial(_pre_kernel, consts=consts,
                    contact_gate=float(contact_gate),
-                   raibert_cmd_symmetric=bool(raibert_cmd_symmetric))
+                   raibert_cmd_symmetric=bool(raibert_cmd_symmetric),
+                   mpc_horizon=int(mpc_horizon), mpc_dt=float(mpc_dt))
     out_shapes = [
         jax.ShapeDtypeStruct((nb, 12, rows, LANE), dtype),   # r
         jax.ShapeDtypeStruct((nb, 6, rows, LANE), dtype),    # b
@@ -658,14 +730,19 @@ def commander_pre_pallas_packed(state_p, carry_p, cmd_p, *, consts,
         jax.ShapeDtypeStruct((nb, N_CARRY, rows, LANE), dtype),
         jax.ShapeDtypeStruct((nb, 12, rows, LANE), dtype),   # q_ref
     ]
+    out_specs = [_spec(12, rows), _spec(6, rows), _spec(4, rows),
+                 _spec(1, rows), _spec(1, rows), _spec(1, rows),
+                 _spec(12, rows), _spec(N_CARRY, rows), _spec(12, rows)]
+    if mpc_horizon:
+        kb = mpc_block_size(mpc_horizon)
+        out_shapes.append(jax.ShapeDtypeStruct((nb, kb, rows, LANE), dtype))
+        out_specs.append(_spec(kb, rows))
     return pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[_spec(state_p.shape[1], rows), _spec(N_CARRY, rows),
                   _spec(N_CMD, rows)],
-        out_specs=[_spec(12, rows), _spec(6, rows), _spec(4, rows),
-                   _spec(1, rows), _spec(1, rows), _spec(1, rows),
-                   _spec(12, rows), _spec(N_CARRY, rows), _spec(12, rows)],
+        out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )(state_p, carry_p, cmd_p)

@@ -889,6 +889,109 @@ def solve_mpc_qp_riccati(yaw, r_levers, mass, inertia_diag, mu, fz_min,
     return F, sol
 
 
+class _OffRef:
+    """View into a packed ref at a static component offset, exposing the
+    ``[0, idx]`` protocol _mpc_kernel uses for its dynamically-indexed
+    inputs (the stance schedule and the reference, read with a TRACED
+    horizon step inside ``lax.fori_loop`` — dynamic indexing is legal on
+    REFS only, so the fused entry must hand the kernel ref views, never
+    loaded arrays)."""
+
+    def __init__(self, ref, off):
+        self._ref, self._off = ref, off
+
+    def __getitem__(self, key):
+        b, idx = key
+        return self._ref[b, self._off + idx]
+
+
+def solve_mpc_qp_riccati_packed(mpc_p, *, n_steps: int, dt: float,
+                                mass: float, inertia_diag, mu: float,
+                                fz_min: float, fz_max: float,
+                                state_weights, alpha: float = 1e-6,
+                                iterations: int = 40,
+                                sigma_c: float = 0.5, tau: float = 0.95,
+                                tol: float = 5e-4,
+                                interpret: bool = False):
+    """The fused-tick MPC entry: one ``pallas_call`` consuming the packed
+    MPC precursor block the commander-pre kernel emits
+    (control/pallas_commander.mpc_block_size layout: xi0 13 | levers 12 |
+    stance schedule 4N | reference 13N), with the robot constants (mass,
+    inertia, cone parameters) baked statically — zero XLA glue on either
+    side, the packed twin of :func:`solve_mpc_qp_riccati`.
+
+    Returns packed ``(F_p, diag_p)``: F_p (nb, N*NU, rows, 128) horizon
+    forces in Newtons (step-0 slice = the tick's GRFs), diag_p rows
+    [conv, pr, dr, gap, nu, 0] (the kernel's native order).
+    """
+    nb, kb, rows, _ = mpc_p.shape
+    N = n_steps
+    assert kb == 25 + 17 * N, (kb, N)
+    f32 = jnp.float32
+    mpc_p = mpc_p.astype(f32)
+    Ibf = tuple(float(v) for v in inertia_diag)
+
+    use_hbm_k = not interpret
+    kern = partial(
+        _mpc_kernel, n_steps=N, dt=float(dt),
+        state_weights=tuple(float(w) for w in state_weights),
+        alpha=float(alpha), iterations=iterations, sigma_c=float(sigma_c),
+        tau=float(tau), tol=float(tol), use_hbm_k=use_hbm_k)
+
+    def entry(mpc_ref, F_ref, diag_ref, Kout, *scratch):
+        if not use_hbm_k:
+            scratch = list(scratch) + [None]  # no dma_sem
+        xi0 = [mpc_ref[0, i] for i in range(NX)]
+        r = [mpc_ref[0, NX + j] for j in range(12)]
+        vz = xi0[0] * 0.0
+        mIb = [vz + f32(mass)] + [vz + f32(v) for v in Ibf]
+        kern([xi0[2]], r, mIb, [vz + f32(mu)],
+             [vz + f32(fz_min), vz + f32(fz_max)], xi0,
+             _OffRef(mpc_ref, 25 + 4 * N), _OffRef(mpc_ref, 25),
+             F_ref.at[0], diag_ref.at[0], Kout, *scratch)
+
+    Fp, diag, _K = pl.pallas_call(
+        entry,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, kb, rows, LANE), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, N * NU, rows, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, rows, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, N * NU, rows, LANE), f32),
+            jax.ShapeDtypeStruct((nb, 6, rows, LANE), f32),
+            jax.ShapeDtypeStruct((nb, N, NU * NX, rows, LANE), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NX * NX, rows, LANE), f32),   # Psc
+            pltpu.VMEM((NX * NX, rows, LANE), f32),   # PAsc
+            pltpu.VMEM((NX * NU, rows, LANE), f32),   # PBsc
+            pltpu.VMEM((_NU_TRI, rows, LANE), f32),   # Lsc
+            pltpu.VMEM((NU, rows, LANE), f32),        # Dsc
+            pltpu.VMEM((NU * NX, rows, LANE), f32),   # Lxsc
+            pltpu.VMEM(((NU * NX) if use_hbm_k else (N * NU * NX),
+                        rows, LANE), f32),            # Kstg
+            pltpu.VMEM((N * NU, rows, LANE), f32),    # kst
+            pltpu.VMEM((N * NU, rows, LANE), f32),    # Fsc
+            pltpu.VMEM((N * MC, rows, LANE), f32),    # ssc
+            pltpu.VMEM((N * MC, rows, LANE), f32),    # zsc
+            pltpu.VMEM((N * MC, rows, LANE), f32),    # rpsc
+            pltpu.VMEM((N * NU, rows, LANE), f32),    # rdsc
+            pltpu.VMEM((N * NU, rows, LANE), f32),    # dFsc
+            pltpu.VMEM((N * NU, rows, LANE), f32),    # csc
+            pltpu.VMEM((N * MC, rows, LANE), f32),    # hsc
+            pltpu.VMEM(((N * NU) if N <= 16 else 1, rows, LANE), f32),
+        ] + ([pltpu.SemaphoreType.DMA(())] if use_hbm_k else []),
+        interpret=interpret,
+    )(mpc_p)
+    return Fp, diag
+
+
 def solve_mpc_fused(xi0, xi_ref, yaw, feet_world, x_com, stance_schedule,
                     horizon: int, dt, cfg: ControlConfig,
                     iterations: int = 40, mass=None, inertia_diag=None,

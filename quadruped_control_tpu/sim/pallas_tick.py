@@ -72,15 +72,28 @@ class FusedWholeBodyResult(NamedTuple):
     plant: WholeBodyState
     carry: CommanderCarry
     trace: FusedRolloutTrace | None
+    # Final packed QP warm carry (x_p, s_p, z_p, st_p) when the tick was
+    # built with qp_warm_start=True, else None. Feed it back as the ``warm``
+    # argument of the next rollout call so hotstart economics survive
+    # host-side chunking (the reference keeps its qpOASES active set alive
+    # across every tick, balance_controller.cpp:193-195 — a chunk boundary
+    # must not reset it).
+    warm: tuple | None = None
 
 
 def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                     contact: ContactConfig = ContactConfig(), *,
-                    rows: int = 8, qp_iterations: int = 12,
-                    qp_polish: bool = True, qp_warm_start: bool = False,
+                    rows: int = 8, qp_iterations: int | None = None,
+                    qp_polish: bool = True, qp_warm_start: bool = True,
+                    qp_polish_sweeps: int | None = None,
+                    qp_polish_refine: int | None = None,
                     contact_gate: float = 0.0,
                     raibert_cmd_symmetric: bool = False,
-                    gravity_comp: bool = False, interpret: bool = False):
+                    gravity_comp: bool = False,
+                    controller: str = "balance", mpc_horizon: int = 8,
+                    mpc_dt: float = 0.03, mpc_iterations: int = 15,
+                    mpc_state_weights=None,
+                    interpret: bool = False):
     """Build the fused tick: ``tick(state_p, carry_p, cmd_p, dt,
     n_substeps) -> (state_p, carry_p, diag_p)`` on packed tiles.
 
@@ -92,30 +105,108 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
     BITWISE-identical results — per-lane math is tile-height-independent;
     use 8 for small batches to halve padding.
 
-    ``qp_warm_start=True`` threads the QP solution (x, s, z) and the
-    stance mask through the scan carry and warm-starts the barrier from
-    the previous tick's solution (stance-transition rows reset cold) — the
-    reference's qpOASES hotstart economics (balance_controller.cpp:193-195)
-    inside the kernel. The tick signature becomes ``tick(state_p, carry_p,
-    warm_p, cmd_p, dt, n_substeps) -> (state_p, carry_p, warm_p, diag_p)``
-    with ``warm_p = (x_p, s_p, z_p, st_p)``; build the first-tick carry
-    with :func:`init_qp_warm_packed` (zeros + st=-1 == cold start). Use
-    roughly half the cold ``qp_iterations`` (tests/test_warm_start.py's
-    economics on the jnp backend).
+    ``qp_warm_start=True`` (the default) threads the QP solution (x, s, z)
+    and the stance mask through the scan carry and warm-starts the barrier
+    from the previous tick's solution (stance-transition rows reset cold) —
+    the reference's qpOASES hotstart economics
+    (balance_controller.cpp:193-195) inside the kernel. The tick signature
+    becomes ``tick(state_p, carry_p, warm_p, cmd_p, dt, n_substeps) ->
+    (state_p, carry_p, warm_p, diag_p)`` with
+    ``warm_p = (x_p, s_p, z_p, st_p)``; build the first-tick carry with
+    :func:`init_qp_warm_packed` (zeros + st=-1 == cold start).
+
+    ``controller="mpc"`` replaces kernel 2 with the receding-horizon
+    Pallas Riccati-IPM (mpc/pallas_riccati.py): commander-pre additionally
+    emits the MPC precursor block (xi0, levers, the N-step stance schedule
+    sampled in-kernel from the gait clock, the constant-twist reference)
+    and the tick applies the horizon's step-0 forces — the whole-body
+    robust operating point (MPC + gravity_comp,
+    tests/test_whole_body_loop.py::test_whole_body_mpc_trot_robust_point)
+    through three kernels. ``qp_*`` knobs are ignored; ``mpc_horizon`` /
+    ``mpc_dt`` / ``mpc_iterations`` / ``mpc_state_weights`` mirror
+    control/commander.commander_step. Use rows=8: the Riccati kernel's
+    VMEM scratch (~10 MB at N=8) exceeds the 16 MB ceiling at rows=16.
+    No warm start yet (tick signature = the cold balance signature).
+
+    ``qp_iterations=None`` resolves to 6 warm / 12 cold — the measured
+    operating points (scripts/verify_warm_tick.py on v5e, 2026-08-20,
+    BENCH_warm_tick.json): cold needs all 12 barrier iterations (8 falls
+    over in trot); warm-6 holds stand-up AND the 0.2 m/s trot at 0.100
+    ms/tick vs cold-12's 0.136 at batch 4096 (41.1M vs 30.2M
+    scenario-ticks/s) with trot conv 0.978 vs 0.973 — faster AND slightly
+    better certified than cold, the same trade qpOASES hotstart buys the
+    reference (warm-5 is 0.090 ms/tick but drops trot conv to 0.958).
     """
+    if controller not in ("balance", "mpc"):
+        raise ValueError(f"controller must be 'balance'|'mpc': {controller}")
+    if qp_iterations is None:
+        qp_iterations = 6 if qp_warm_start else 12
+    from quadruped_control_tpu.solver.pallas_ipm import (
+        _POLISH_REFINE,
+        _POLISH_SWEEPS_PALLAS,
+    )
+
+    if qp_polish_sweeps is None:
+        qp_polish_sweeps = _POLISH_SWEEPS_PALLAS
+    if qp_polish_refine is None:
+        qp_polish_refine = _POLISH_REFINE
     consts = CommanderConsts(cfg, dt=1.0 / cfg.frequency)
     stepper = make_pallas_stepper(
         model, cfg, contact, rows=rows, interpret=interpret,
         prefactor="kernel", torque_input="qp", gravity_comp=gravity_comp)
     s_diag = tuple(cfg.balance.s_diag)
     w_diag = float(cfg.balance.w_diag)
+    is_mpc = controller == "mpc"
 
     def commander_pre(state_p, carry_p, cmd_p):
         return commander_pre_pallas_packed(
             state_p, carry_p, cmd_p, consts=consts, rows=rows,
             contact_gate=contact_gate,
             raibert_cmd_symmetric=raibert_cmd_symmetric,
+            mpc_horizon=mpc_horizon if is_mpc else 0, mpc_dt=mpc_dt,
             interpret=interpret)
+
+    if is_mpc:
+        # Receding-horizon controller in the tick (the commander's
+        # controller="mpc" slot, commander_node.cpp:507-508): kernel 2 is
+        # the Pallas Riccati-IPM over the horizon, consuming the MPC
+        # precursor block commander-pre emits (schedule sampled in-kernel
+        # from the gait clock). Step-0 forces feed the substep kernel.
+        from quadruped_control_tpu.mpc.pallas_riccati import (
+            solve_mpc_qp_riccati_packed,
+        )
+
+        bal = cfg.balance
+        weights = (tuple(mpc_state_weights) if mpc_state_weights is not None
+                   else (50.0, 50.0, 10.0, 1.0, 1.0, 100.0,
+                         1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 0.0))
+        mpc_kw = dict(
+            n_steps=mpc_horizon, dt=mpc_dt, mass=float(bal.mass),
+            inertia_diag=tuple(float(v) for v in bal.inertia_diag),
+            mu=float(bal.mu), fz_min=float(bal.fz_min),
+            fz_max=float(bal.fz_max), state_weights=weights,
+            iterations=mpc_iterations, interpret=interpret)
+
+        def tick(state_p, carry_p, cmd_p, dt: float, n_substeps: int):
+            (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
+             _qref_p, mpc_p) = commander_pre(state_p, carry_p, cmd_p)
+            F_p, dg = solve_mpc_qp_riccati_packed(mpc_p, **mpc_kw)
+            x_p = F_p[:, 0:12]  # step-0 GRFs (already stance-masked, N)
+            state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
+                                         tausw_p, st_p, dt, n_substeps)
+            # Reorder the MPC diag [conv, pr, dr, gap, nu, 0] into the QP
+            # diag convention [cert, conv, pr, dr, gap, *] the rollout
+            # trace indexes (row 1 = converged).
+            diag_p = jnp.concatenate(
+                [jnp.zeros_like(dg[:, 0:1]), dg[:, 0:4], dg[:, 4:5]],
+                axis=1)
+            return state_new_p, carry_new_p, (st_p, diag_p)
+
+        tick.consts = consts
+        tick.stepper = stepper
+        tick.rows = rows
+        tick.warm_start = False
+        return tick
 
     if qp_warm_start:
         def tick(state_p, carry_p, warm_p, cmd_p, dt: float,
@@ -127,6 +218,8 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                 r_p, b_p, st_p, mu_p, fmin_p, fmax_p,
                 xw_p, sw_p, zw_p, stprev_p, s_diag=s_diag,
                 w_diag=w_diag, iterations=qp_iterations, polish=qp_polish,
+                polish_sweeps=qp_polish_sweeps,
+                polish_refine=qp_polish_refine,
                 rows=rows, interpret=interpret)
             state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
                                          tausw_p, st_p, dt, n_substeps)
@@ -141,6 +234,8 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
             x_p, _s_p, _z_p, diag_p = solve_grf_qp_fused_packed(
                 r_p, b_p, st_p, mu_p, fmin_p, fmax_p, s_diag=s_diag,
                 w_diag=w_diag, iterations=qp_iterations, polish=qp_polish,
+                polish_sweeps=qp_polish_sweeps,
+                polish_refine=qp_polish_refine,
                 rows=rows, interpret=interpret)
             state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
                                          tausw_p, st_p, dt, n_substeps)
@@ -210,14 +305,19 @@ def unpack_whole_body_state(state_p, batch_shape) -> WholeBodyState:
 @partial(jax.jit, static_argnames=("steps", "n_substeps", "tick", "record"))
 def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
                              cmd_twist, steps: int, tick,
-                             n_substeps: int = 10,
-                             record: bool = False) -> FusedWholeBodyResult:
+                             n_substeps: int = 10, record: bool = False,
+                             warm: tuple | None = None
+                             ) -> FusedWholeBodyResult:
     """Run ``steps`` fused control ticks (drop-in sibling of
     sim/rollout.rollout_whole_body for the balance-QP controller).
 
     Args:
       tick: built by :func:`make_fused_tick` (static; bakes cfg/model).
       cmd_twist: (..., 6), broadcast over the batch.
+      warm: for a ``qp_warm_start`` tick, the packed QP warm carry
+        ``(x_p, s_p, z_p, st_p)`` from a previous rollout's ``.warm``
+        (shapes must match this call's padded batch). None = cold first
+        tick. The final warm carry comes back in ``result.warm``.
     """
     rows = tick.rows
     dt = tick.consts.dt
@@ -247,9 +347,10 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
                               axis=0)
     cmd_p = pack_comps(cmd, rows)
 
-    warm = getattr(tick, "warm_start", False)
+    warm_start = getattr(tick, "warm_start", False)
+    warm_f = None
 
-    if warm:
+    if warm_start:
         def body(sc, _):
             state_p, carry_p, warm_p = sc
             state_p, carry_p, warm_p, (st_p, diag_p) = tick(
@@ -259,8 +360,9 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
                 out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
             return (state_p, carry_p, warm_p), out
 
-        warm_p0 = init_qp_warm_packed(state_p.shape[0], rows, jnp.float32)
-        (state_p, carry_p, _), rec = lax.scan(
+        warm_p0 = (warm if warm is not None else
+                   init_qp_warm_packed(state_p.shape[0], rows, jnp.float32))
+        (state_p, carry_p, warm_f), rec = lax.scan(
             body, (state_p, carry_p, warm_p0), None, length=steps)
     else:
         def body(sc, _):
@@ -300,4 +402,44 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
         plant=unpack_whole_body_state(state_p, batch),
         carry=carry_out,
         trace=trace,
+        warm=warm_f,
     )
+
+
+def rollout_whole_body_fused_chunked(plant: WholeBodyState,
+                                     carry: CommanderCarry, cmd_twist,
+                                     steps: int, tick, chunk: int = 50,
+                                     n_substeps: int = 10,
+                                     record: bool = False,
+                                     warm: tuple | None = None
+                                     ) -> FusedWholeBodyResult:
+    """``rollout_whole_body_fused`` split into host-side chunks.
+
+    Long device rollouts must chunk (~50 ticks/call) because the axon
+    tunnel aborts single XLA executions running tens of seconds (CLAUDE.md
+    environment facts). This driver threads plant, commander carry AND the
+    packed QP warm carry across chunk boundaries, so a 450-tick warm drive
+    keeps the reference's hotstart economics end-to-end instead of
+    resetting cold every ``chunk`` ticks. Traces concatenate on host.
+
+    All chunks except possibly the last have ``chunk`` steps, so at most
+    two programs compile. Parity: chunked == unchunked bitwise on CPU
+    (tests/test_pallas_tick.py::test_fused_chunked_matches_unchunked).
+    """
+    traces = []
+    done = 0
+    res = None
+    while done < steps:
+        n = min(chunk, steps - done)
+        res = jax.block_until_ready(rollout_whole_body_fused(
+            plant, carry, cmd_twist, n, tick, n_substeps=n_substeps,
+            record=record, warm=warm))
+        plant, carry, warm = res.plant, res.carry, res.warm
+        if record:
+            traces.append(res.trace)
+        done += n
+    trace = None
+    if record:
+        trace = jax.tree.map(lambda *a: jnp.concatenate(a), *traces)
+    return FusedWholeBodyResult(plant=plant, carry=carry, trace=trace,
+                                warm=warm)

@@ -53,7 +53,7 @@ def main():
         f"{np.asarray(res_x.carry.standing).mean():.3f}")
 
     tick = make_fused_tick(model, cfg, contact, rows=8, qp_iterations=12,
-                           qp_polish=True)
+                           qp_polish=True, qp_warm_start=False)
     t0 = time.time()
     res_f = jax.block_until_ready(rollout_whole_body_fused(
         wb, carry, cmd0, 300, tick, n_substeps=10, record=False))

@@ -73,7 +73,7 @@ def main():
 
     tick = make_fused_tick(model, cfg, contact, rows=ROWS,
                            qp_iterations=QP_IT, qp_polish=True,
-                           interpret=True)
+                           qp_warm_start=False, interpret=True)
     stepper_tau = make_pallas_stepper(model, cfg, contact, rows=ROWS,
                                       interpret=True, prefactor="kernel")
 

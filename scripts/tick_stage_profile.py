@@ -80,12 +80,14 @@ def main():
     carry_p = pack_commander_carry(carry, ROWS, B)
     cmd_p = pack_comps(cmd, ROWS)
     tick = make_fused_tick(model, cfg, contact, rows=ROWS,
-                           qp_iterations=QP_IT, qp_polish=True)
+                           qp_iterations=QP_IT, qp_polish=True,
+                           qp_warm_start=False)
     # qp_polish=False matches rollout_whole_body's default operating point
     # (the 3-stage numbers are barrier-only; polish is the expensive
     # certified packed-LDL stage).
     tick_np = make_fused_tick(model, cfg, contact, rows=ROWS,
-                              qp_iterations=QP_IT, qp_polish=False)
+                              qp_iterations=QP_IT, qp_polish=False,
+                              qp_warm_start=False)
 
     # Reference packed precursors for the isolated QP / substep stages.
     outs = jax.jit(lambda s, c, m: commander_pre_pallas_packed(

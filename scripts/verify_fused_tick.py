@@ -50,7 +50,8 @@ def main():
     # (barrier-only; the certified-polish stage is for solver sweeps and
     # costs ~4.7 ms/tick at b4096 — see scripts/tick_stage_profile.py).
     tick = make_fused_tick(model, cfg, contact, rows=8, qp_iterations=12,
-                           qp_polish=False, gravity_comp=True)
+                           qp_polish=False, qp_warm_start=False,
+                           gravity_comp=True)
 
     # ---- behavior: stand-up then trot at 0.2 m/s --------------------------
     B = 256
@@ -91,7 +92,8 @@ def main():
         cmdB = jnp.zeros((B, 6), jnp.float32).at[:, 0].set(0.2)
 
         tickB = make_fused_tick(model, cfg, contact, rows=8,
-                                qp_iterations=12, qp_polish=False)
+                                qp_iterations=12, qp_polish=False,
+                                qp_warm_start=False)
 
         def run_fused(steps):
             return rollout_whole_body_fused(wb, carry, cmdB, steps, tickB,

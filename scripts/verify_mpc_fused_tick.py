@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Drive the fused MPC tick (controller="mpc") on the real TPU: the
+whole-body robust operating point (MPC + gravity compensation,
+tests/test_whole_body_loop.py::test_whole_body_mpc_trot_robust_point)
+through exactly three Pallas kernels per tick (VERDICT round-1 #4).
+
+Checks:
+  1. behavior at B=256: stand-up latches the stand height; 0.2 m/s trot
+     stays upright and travels;
+  2. marginal ms/tick at batch 1024 and 4096 (rows=8 — the Riccati
+     scratch exceeds VMEM at rows=16) vs the XLA-commander MPC path
+     (ROADMAP: 231k scenario-ticks/s at b1024 per-tick).
+
+Run: PYTHONPATH="$PYTHONPATH:." python scripts/verify_mpc_fused_tick.py
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_control_tpu.config import mit_cheetah_whole_body_config
+from quadruped_control_tpu.control.commander import init_commander_carry
+from quadruped_control_tpu.sim import (
+    ContactConfig,
+    init_whole_body_state,
+    mit_cheetah_whole_body_model,
+)
+from quadruped_control_tpu.sim.pallas_tick import (
+    make_fused_tick,
+    rollout_whole_body_fused_chunked,
+)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    cfg = mit_cheetah_whole_body_config()
+    model = mit_cheetah_whole_body_model(cfg, dtype=jnp.float32)
+    contact = ContactConfig()
+    log(f"device: {jax.devices()[0]}")
+
+    tick = make_fused_tick(model, cfg, contact, rows=8, controller="mpc",
+                           mpc_horizon=8, mpc_dt=0.03, mpc_iterations=15,
+                           gravity_comp=True)
+
+    # ---- behavior: stand-up then trot at 0.2 m/s (chunked: the MPC tick
+    # is heavy enough that a 600-tick scan would exceed the axon tunnel's
+    # single-execution budget) ------------------------------------------
+    B = 256
+    wb = init_whole_body_state(cfg, (B,), dtype=jnp.float32)
+    carry = init_commander_carry((B,), dtype=jnp.float32)
+    cmd0 = jnp.zeros((B, 6), jnp.float32)
+
+    t0 = time.time()
+    res = rollout_whole_body_fused_chunked(wb, carry, cmd0, 600, tick,
+                                           chunk=50, n_substeps=10,
+                                           record=True)
+    z = np.asarray(res.plant.x[:, 2])
+    standing = np.asarray(res.carry.standing).mean()
+    conv_s = np.asarray(res.trace.qp_converged).mean()
+    log(f"stand-up (600 ticks, {time.time() - t0:.0f}s): z {z.mean():.4f} "
+        f"(target {cfg.stand.height}) standing {standing:.3f} "
+        f"mpc conv {conv_s:.4f}")
+    ok_stand = abs(z.mean() - cfg.stand.height) < 0.02 and standing > 0.9
+
+    cmd = jnp.zeros((B, 6), jnp.float32).at[:, 0].set(0.2)
+    t0 = time.time()
+    res2 = rollout_whole_body_fused_chunked(res.plant, res.carry, cmd, 900,
+                                            tick, chunk=50, n_substeps=10,
+                                            record=True)
+    z2 = np.asarray(res2.plant.x[:, 2])
+    up2 = np.asarray(res2.plant.R[:, 2, 2])
+    xtrav = np.asarray(res2.plant.x[:, 0]).mean()
+    upright = (up2 > 0.9).mean()
+    conv_t = np.asarray(res2.trace.qp_converged).mean()
+    vx = xtrav / (900 / cfg.frequency)
+    log(f"trot (900 ticks, {time.time() - t0:.0f}s): x {xtrav:.3f} m "
+        f"(vx {vx:.3f} m/s) z {z2.mean():.4f} upright {upright:.4f} "
+        f"mpc conv {conv_t:.4f}")
+    ok_trot = upright > 0.95 and 0.10 < vx < 0.25
+
+    # ---- timing ---------------------------------------------------------
+    for Bt in (1024, 4096):
+        wbt = init_whole_body_state(cfg, (Bt,), dtype=jnp.float32)
+        ct = init_commander_carry((Bt,), dtype=jnp.float32)
+        ct = ct._replace(standing=jnp.ones((Bt,), bool))
+        cmdt = jnp.zeros((Bt, 6), jnp.float32).at[:, 0].set(0.2)
+
+        from quadruped_control_tpu.sim.pallas_tick import (
+            rollout_whole_body_fused,
+        )
+
+        def run(steps):
+            return rollout_whole_body_fused(wbt, ct, cmdt, steps, tick,
+                                            n_substeps=10, record=False)
+
+        res_t = {}
+        for steps in (10, 50):
+            jax.block_until_ready(run(steps))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                jax.block_until_ready(run(steps))
+                best = min(best, time.time() - t0)
+            res_t[steps] = best
+        per = (res_t[50] - res_t[10]) / 40 * 1e3
+        log(f"B={Bt}: {per:.3f} ms/tick -> {Bt / per * 1e3:,.0f} "
+            f"scenario-ticks/s ({Bt / per * 1e3 / cfg.frequency:,.0f}x rt)")
+
+    print("PASS" if (ok_stand and ok_trot) else "FAIL")
+    return 0 if (ok_stand and ok_trot) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
