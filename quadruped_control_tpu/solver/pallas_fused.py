@@ -453,9 +453,18 @@ _NK_TRI = NK * (NK + 1) // 2  # 666 tiles: half the dense NK^2 scratch
 
 
 def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int,
-            refine: int):
+            refine: int, a0=None):
     """Structured-G port of pallas_ipm._polish_kernel. Returns
     (x, s, z, cert) in equilibrated units.
+
+    ``a0``: optional initial active-set guess (M tiles of 0/1). Default is
+    the barrier heuristic z0 > s0 — which is NOISE for the degenerate
+    4-stance family the barrier cannot solve (cond ~7.5e5: the set search
+    then needs ~10-30 add/drop sweeps, scripts/tail_knobs.py). Control
+    streams pass the PREVIOUS tick's certified active set instead (the
+    warm carry), reducing the search to <=1 swap per tick — qpOASES's
+    working-set hotstart (balance_controller.cpp:193-195), applied to the
+    polish stage.
 
     VMEM economy: the quasidefinite KKT is stored as a PACKED LOWER TRIANGLE
     (666 tiles vs 1296 dense) and the LDL^T factor overwrites it IN PLACE —
@@ -653,7 +662,9 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int,
         a = [jnp.where(cert > 0.5, a[r], a_new[r]) for r in range(M)]
         return a, bx, bz, bs, cert
 
-    a0 = [jnp.where(z0[r] > s0[r], f32(1.0), f32(0.0)) for r in range(M)]
+    if a0 is None:
+        a0 = [jnp.where(z0[r] > s0[r], f32(1.0), f32(0.0))
+              for r in range(M)]
     cert0 = jnp.zeros_like(x0[0])
     carry = (a0, x0, z0, s0, cert0)
     carry = lax.fori_loop(0, sweeps, sweep_body, carry)
@@ -687,6 +698,7 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                                s_diag, w_diag, swing_relax)
     Qs, cs, Gsr, hs, Dv, Er, nu = _equilibrate_tiles(Qu, c, Grow, h)
 
+    a0_warm = None
     if iterations > 0:
         init = None
         if warm_refs is not None:
@@ -701,12 +713,22 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                   for rr in range(M)]
             z0 = [jnp.maximum(zin_ref[rr] * nu / Er[rr], interior)
                   for rr in range(M)]
+            if polish:
+                a0_warm = [None] * M
             for rr in range(M):
                 leg = rr // 6
                 reset = jnp.abs(st[leg] - stprev_ref[leg]) > 0.5
                 s_cold = jnp.maximum(hs[rr], 1.0)
                 s0[rr] = jnp.where(reset, s_cold, s0[rr])
                 z0[rr] = jnp.where(reset, 1.0 / s_cold, z0[rr])
+                if polish:
+                    # Previous tick's certified active set (original-units
+                    # z > s on the carried triple); -1 marks reset rows for
+                    # the barrier-heuristic fallback below.
+                    a_prev = jnp.where(zin_ref[rr] > sin_ref[rr],
+                                       jnp.float32(1.0), jnp.float32(0.0))
+                    a0_warm[rr] = jnp.where(reset, jnp.float32(-1.0),
+                                            a_prev)
             init = (x0, s0, z0)
         x, s, z = _barrier(Qs, cs, Gsr, hs, iterations=iterations, tau=tau,
                            init=init)
@@ -720,8 +742,17 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
         z = [jnp.maximum(zin_ref[rr] * nu / Er[rr], jnp.float32(1e-30))
              for rr in range(M)]
     if polish:
+        a0 = None
+        if a0_warm is not None:
+            # Warm rows keep the previous tick's set; reset rows (-1) fall
+            # back to the barrier heuristic.
+            a0 = [jnp.where(a0_warm[rr] < -0.5,
+                            jnp.where(z[rr] > s[rr], jnp.float32(1.0),
+                                      jnp.float32(0.0)),
+                            a0_warm[rr]) for rr in range(M)]
         x, s, z, cert = _polish(Qs, cs, Gsr, hs, x, s, z, Ksc, Dsc, usc,
-                                sweeps=polish_sweeps, refine=polish_refine)
+                                sweeps=polish_sweeps, refine=polish_refine,
+                                a0=a0)
     else:
         cert = jnp.zeros_like(x[0])
 

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Tune the CERTIFIED fused tick (VERDICT round-1 #3): warm-6 barrier plus
+a cheap in-kernel active-set polish.
+
+scripts/tick_tail_diag.py isolated the in-loop uncertified ~2-3%: the
+degenerate 4-stance family (rank-6 A^T S A, cond ~7.5e5) in the trot's
+4-stance overlap windows — more barrier iterations do NOT certify them
+(cold-12 re-solve: 20%), but the quasidefinite-LDL polish does (the same
+physics as the two-phase tail, scripts/tail_knobs.py). With the warm carry
+seeding the polish's initial active set from the previous tick's (s, z),
+1-2 sweeps should certify nearly every tick. This script measures the
+cost/convergence frontier.
+
+Run: PYTHONPATH="$PYTHONPATH:." python scripts/tick_certify_tune.py
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_control_tpu.config import mit_cheetah_physical_config
+from quadruped_control_tpu.control.commander import init_commander_carry
+from quadruped_control_tpu.sim import (
+    ContactConfig,
+    init_whole_body_state,
+    mit_cheetah_whole_body_model,
+)
+from quadruped_control_tpu.sim.pallas_tick import (
+    make_fused_tick,
+    rollout_whole_body_fused,
+)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def behavior(tick, B=256):
+    cfg = mit_cheetah_physical_config()
+    wb = init_whole_body_state(cfg, (B,), dtype=jnp.float32)
+    carry = init_commander_carry((B,), dtype=jnp.float32)
+    res = jax.block_until_ready(rollout_whole_body_fused(
+        wb, carry, jnp.zeros((B, 6), jnp.float32), 600, tick,
+        n_substeps=10, record=True))
+    z = np.asarray(res.plant.x[:, 2])
+    conv_s = np.asarray(res.trace.qp_converged).mean()
+    cmd = jnp.zeros((B, 6), jnp.float32).at[:, 0].set(0.2)
+    res2 = jax.block_until_ready(rollout_whole_body_fused(
+        res.plant, res.carry, cmd, 600, tick, n_substeps=10, record=True,
+        warm=res.warm))
+    conv_t = np.asarray(res2.trace.qp_converged).mean()
+    xtrav = np.asarray(res2.plant.x[:, 0]).mean()
+    up = (np.asarray(res2.plant.R[:, 2, 2]) > 0.9).mean()
+    log(f"  stand z {z.mean():.4f} conv {conv_s:.4f} | trot x {xtrav:.3f}"
+        f" upright {up:.3f} conv {conv_t:.4f}")
+    return conv_s, conv_t
+
+
+def marginal_ms(tick, B=4096, lo=50, hi=300):
+    cfg = mit_cheetah_physical_config()
+    wb = init_whole_body_state(cfg, (B,), dtype=jnp.float32)
+    carry = init_commander_carry((B,), dtype=jnp.float32)
+    carry = carry._replace(standing=jnp.ones((B,), bool))
+    cmd = jnp.zeros((B, 6), jnp.float32).at[:, 0].set(0.2)
+
+    def run(steps):
+        return rollout_whole_body_fused(wb, carry, cmd, steps, tick,
+                                        n_substeps=10, record=False)
+
+    res = {}
+    for steps in (lo, hi):
+        jax.block_until_ready(run(steps))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(run(steps))
+            best = min(best, time.time() - t0)
+        res[steps] = best
+    return (res[hi] - res[lo]) / (hi - lo) * 1e3
+
+
+def main():
+    cfg = mit_cheetah_physical_config()
+    model = mit_cheetah_whole_body_model(cfg, dtype=jnp.float32)
+    contact = ContactConfig()
+    rows = 16
+    log(f"device: {jax.devices()[0]}, rows={rows}")
+
+    grid = (
+        ("warm6-nopolish", dict(qp_iterations=6, qp_polish=False)),
+        ("warm6-p1r1", dict(qp_iterations=6, qp_polish=True,
+                            qp_polish_sweeps=1, qp_polish_refine=1)),
+        ("warm6-p2r1", dict(qp_iterations=6, qp_polish=True,
+                            qp_polish_sweeps=2, qp_polish_refine=1)),
+        ("warm6-p2r2", dict(qp_iterations=6, qp_polish=True,
+                            qp_polish_sweeps=2, qp_polish_refine=2)),
+        ("warm4-p2r1", dict(qp_iterations=4, qp_polish=True,
+                            qp_polish_sweeps=2, qp_polish_refine=1)),
+    )
+    out = {}
+    for name, kw in grid:
+        tick = make_fused_tick(model, cfg, contact, rows=rows,
+                               qp_warm_start=True, gravity_comp=True, **kw)
+        log(f"{name}:")
+        conv_s, conv_t = behavior(tick)
+        per = marginal_ms(tick)
+        log(f"  {per:.3f} ms/tick -> {4096 / per * 1e3:,.0f} ticks/s")
+        out[name] = (conv_s, conv_t, per)
+
+    log("\nsummary (conv_stand, conv_trot, ms/tick @ b4096):")
+    for name, (cs, ct, per) in out.items():
+        log(f"  {name}: {cs:.4f} {ct:.4f} {per:.3f}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
