@@ -39,6 +39,11 @@ class RolloutTrace(NamedTuple):
     in_stance: jnp.ndarray  # (T, ..., 4)
     qp_converged: jnp.ndarray  # (T, ...)
     torque_max: jnp.ndarray  # (T, ...) inf-norm of commanded torques
+    # Pose telemetry for utils/viz.animate_rollout (the rviz/GIF
+    # equivalent, gait_visualizer_node.cpp:51-101): world foot positions
+    # and base orientation.
+    feet: jnp.ndarray = None  # (T, ..., 4, 3)
+    R: jnp.ndarray = None  # (T, ..., 3, 3)
 
 
 class RolloutResult(NamedTuple):
@@ -99,6 +104,8 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
                 in_stance=out.gait.in_stance,
                 qp_converged=out.qp_converged,
                 torque_max=jnp.max(jnp.abs(out.torques), axis=(-2, -1)),
+                feet=plant_next.feet_world,
+                R=plant_next.com.R,
             )
         else:
             trace = 0
@@ -169,6 +176,8 @@ def rollout_mpc_decimated(plant: PlantState, carry: CommanderCarry,
                 in_stance=out.gait.in_stance,
                 qp_converged=out.qp_converged,
                 torque_max=jnp.max(jnp.abs(out.torques), axis=(-2, -1)),
+                feet=plant_s.feet_world,
+                R=plant_s.com.R,
             )
         else:
             trace = 0

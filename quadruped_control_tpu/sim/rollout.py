@@ -108,6 +108,13 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                                  n_substeps=n_substeps, m_update=m_update)
         trace = None
         if record:
+            from quadruped_control_tpu.ops.kinematics import (
+                forward_kinematics,
+            )
+
+            feet_body = forward_kinematics(wb.q, cfg.kinematics)
+            feet_w = jnp.einsum("...ij,...lj->...li", wb.R,
+                                feet_body) + wb.x[..., None, :]
             trace = RolloutTrace(
                 x=wb.x,
                 xdot=(wb.R @ wb.u[..., 3:6, None])[..., 0],
@@ -115,6 +122,8 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                 in_stance=out.gait.in_stance,
                 qp_converged=out.qp_converged,
                 torque_max=jnp.max(jnp.abs(out.torques), axis=(-1, -2)),
+                feet=feet_w,
+                R=wb.R,
             )
         return (wb, cc), trace
 

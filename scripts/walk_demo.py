@@ -5,7 +5,11 @@ The reference's headline demo (README.md:54-63, Drake + rviz GIFs) as a
 headless on-device rollout: commander x SRB plant surrogate in one scan,
 plots written as PNGs.
 
-Usage: PYTHONPATH=. python scripts/walk_demo.py [vx] [vy] [wz] [seconds] [out_dir]
+Usage: PYTHONPATH="$PYTHONPATH:." python scripts/walk_demo.py \
+           [vx] [vy] [wz] [seconds] [out_dir] [--animate]
+
+``--animate`` additionally writes walk.gif — the headless equivalent of
+the reference's rviz demo media (quadruped_controller/media/).
 """
 
 import os
@@ -17,10 +21,11 @@ import jax.numpy as jnp
 
 from quadruped_control_tpu.config import mit_cheetah_physical_config
 from quadruped_control_tpu.control.rollout import walk_rollout
-from quadruped_control_tpu.utils.viz import plot_rollout
+from quadruped_control_tpu.utils.viz import animate_rollout, plot_rollout
 
 
-def main(vx=0.2, vy=0.0, wz=0.0, seconds=4.0, out_dir="/tmp/walk_demo"):
+def main(vx=0.2, vy=0.0, wz=0.0, seconds=4.0, out_dir="/tmp/walk_demo",
+         animate=False):
     vx, vy, wz, seconds = map(float, (vx, vy, wz, seconds))
     os.makedirs(out_dir, exist_ok=True)
     cfg = mit_cheetah_physical_config()
@@ -38,7 +43,12 @@ def main(vx=0.2, vy=0.0, wz=0.0, seconds=4.0, out_dir="/tmp/walk_demo"):
     path = os.path.join(out_dir, "walk.png")
     plot_rollout(res.trace, 1.0 / cfg.frequency, path=path)
     print("wrote", path)
+    if animate:
+        gif = os.path.join(out_dir, "walk.gif")
+        animate_rollout(res.trace, 1.0 / cfg.frequency, gif, cfg=cfg)
+        print("wrote", gif)
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    argv = [a for a in sys.argv[1:] if a != "--animate"]
+    main(*argv, animate="--animate" in sys.argv)
