@@ -202,6 +202,27 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                 axis=1)
             return state_new_p, carry_new_p, (st_p, diag_p)
 
+        def held(state_p, carry_p, x_hold_p, cmd_p, dt: float,
+                 n_substeps: int):
+            """Zero-order-hold tick between MPC solves (the reference-class
+            25-50 Hz MPC over a 100-300 Hz loop, control/rollout.py::
+            rollout_mpc_decimated): commander-pre still runs (swing PD,
+            gait, planning), the held step-0 forces drive the stance
+            legs — only the Riccati kernel dispatch is skipped."""
+            (_r, _b, st_p, _mu, _fmin, _fmax, tausw_p, carry_new_p,
+             _qref) = commander_pre_pallas_packed(
+                state_p, carry_p, cmd_p, consts=consts, rows=rows,
+                contact_gate=contact_gate,
+                raibert_cmd_symmetric=raibert_cmd_symmetric,
+                interpret=interpret)
+            state_new_p = stepper.packed(
+                state_p, x_hold_p.astype(state_p.dtype), tausw_p, st_p,
+                dt, n_substeps)
+            return state_new_p, carry_new_p, st_p
+
+        tick.held = held
+        tick.pre = commander_pre
+        tick.solve = partial(solve_mpc_qp_riccati_packed, **mpc_kw)
         tick.consts = consts
         tick.stepper = stepper
         tick.rows = rows
@@ -403,6 +424,110 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
         carry=carry_out,
         trace=trace,
         warm=warm_f,
+    )
+
+
+@partial(jax.jit, static_argnames=("steps", "mpc_every", "n_substeps",
+                                   "tick", "record"))
+def rollout_whole_body_fused_decimated(plant: WholeBodyState,
+                                       carry: CommanderCarry, cmd_twist,
+                                       steps: int, tick,
+                                       mpc_every: int = 4,
+                                       n_substeps: int = 10,
+                                       record: bool = False
+                                       ) -> FusedWholeBodyResult:
+    """Fused MPC closed loop with the MPC re-solved every ``mpc_every``
+    ticks (sim twin of control/rollout.rollout_mpc_decimated): the outer
+    scan body runs one full MPC tick, then ``mpc_every - 1`` held ticks
+    (commander-pre + substeps with the zero-order-held step-0 forces) —
+    the Riccati kernel cost drops by ~mpc_every. ``steps`` must be a
+    multiple of ``mpc_every``. Trace entries are per GROUP (one per MPC
+    solve, post-group state), like the XLA driver. Requires a
+    ``controller="mpc"`` tick (uses ``tick.held``)."""
+    assert steps % mpc_every == 0, (steps, mpc_every)
+    assert hasattr(tick, "held"), "needs a controller='mpc' fused tick"
+    rows = tick.rows
+    dt = tick.consts.dt
+    batch = plant.x.shape[:-1]
+    dtype = plant.x.dtype
+    B = 1
+    for d in batch:
+        B *= int(d)
+
+    state_p, B_pad = pack_whole_body_state(plant, rows)
+    carry_flat = jax.tree.map(
+        lambda a: jnp.broadcast_to(
+            a, batch + a.shape[len(batch):]).reshape(
+                (B,) + a.shape[len(batch):]),
+        carry)
+    if B_pad != B:
+        carry_flat = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((B_pad - B,) + a.shape[1:], a.dtype)],
+                axis=0),
+            carry_flat)
+    carry_p = pack_commander_carry(carry_flat, rows, B_pad)
+    cmd = jnp.broadcast_to(jnp.asarray(cmd_twist, dtype), batch + (6,))
+    cmd = cmd.reshape(B, 6)
+    if B_pad != B:
+        cmd = jnp.concatenate([cmd, jnp.zeros((B_pad - B, 6), dtype)],
+                              axis=0)
+    cmd_p = pack_comps(cmd, rows)
+
+    def group_body(sc, _):
+        state_p, carry_p = sc
+        (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
+         _qref_p, mpc_p) = tick.pre(state_p, carry_p, cmd_p)
+        F_p, dg = tick.solve(mpc_p)
+        x_hold = F_p[:, 0:12]
+        state_p = tick.stepper.packed(state_p,
+                                      x_hold.astype(state_p.dtype),
+                                      tausw_p, st_p, dt, n_substeps)
+        carry_p = carry_new_p
+
+        def held_body(inner, _):
+            state_p, carry_p = inner
+            state_p, carry_p, _st = tick.held(state_p, carry_p, x_hold,
+                                              cmd_p, dt, n_substeps)
+            return (state_p, carry_p), None
+
+        (state_p, carry_p), _ = lax.scan(
+            held_body, (state_p, carry_p), None, length=mpc_every - 1)
+        out = None
+        if record:
+            diag_p = jnp.concatenate(
+                [jnp.zeros_like(dg[:, 0:1]), dg[:, 0:4], dg[:, 4:5]],
+                axis=1)
+            out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
+        return (state_p, carry_p), out
+
+    (state_p, carry_p), rec = lax.scan(group_body, (state_p, carry_p),
+                                       None, length=steps // mpc_every)
+
+    trace = None
+    if record:
+        x_r, standing_r, st_r, conv_r = rec
+
+        def unp(a, tail):
+            s = a.shape[0]
+            flat = a.transpose(0, 1, 3, 4, 2).reshape(s, B_pad, -1)[:, :B]
+            return flat.reshape((s,) + batch + tail)
+
+        trace = FusedRolloutTrace(
+            x=unp(x_r, (3,)),
+            standing=unp(standing_r[:, :, None], (1,))[..., 0] > 0.5,
+            in_stance=unp(st_r, (4,)) > 0.5,
+            qp_converged=unp(conv_r[:, :, None], (1,))[..., 0] > 0.5,
+        )
+
+    carry_out = unpack_commander_carry(
+        carry_p, batch,
+        jax.tree.map(lambda a: jnp.broadcast_to(
+            a, batch + a.shape[len(batch):]), carry))
+    return FusedWholeBodyResult(
+        plant=unpack_whole_body_state(state_p, batch),
+        carry=carry_out,
+        trace=trace,
     )
 
 

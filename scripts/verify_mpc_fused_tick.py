@@ -11,6 +11,13 @@ Checks:
      scratch exceeds VMEM at rows=16) vs the XLA-commander MPC path
      (ROADMAP: 231k scenario-ticks/s at b1024 per-tick).
 
+NOTE on the conv flag: the Riccati kernel's tol=5e-4 criterion is
+calibrated at 40 IPM iterations (mpc/pallas_riccati.py); the robust
+operating point runs 15 (test_whole_body_loop robust-point parity), where
+the flag reads ~0 while closed-loop behavior is fine — receding-horizon
+re-solves wash out the larger per-solve residual. Behavior, not the
+flag, is the pass criterion here (same for the XLA MPC tests).
+
 Run: PYTHONPATH="$PYTHONPATH:." python scripts/verify_mpc_fused_tick.py
 """
 

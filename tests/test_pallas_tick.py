@@ -603,3 +603,33 @@ def test_mpc_fused_tick_rollout_standup():
     assert np.isfinite(np.asarray(res.plant.u)).all()
     assert np.isfinite(np.asarray(res.plant.x)).all()
     assert res.warm is None
+
+
+def test_mpc_fused_decimated_every1_matches_pertick():
+    """rollout_whole_body_fused_decimated with mpc_every=1 is BITWISE the
+    per-tick fused MPC rollout (the hold loop vanishes), validating the
+    group/hold plumbing; mpc_every=2 stays finite with the zero-order
+    hold applied."""
+    from quadruped_control_tpu.sim.pallas_tick import (
+        rollout_whole_body_fused_decimated,
+    )
+
+    Bs = 64
+    wb = init_whole_body_state(CFG, (Bs,), dtype=F64)
+    carry = init_commander_carry((Bs,), dtype=F64)
+    cmd = jnp.zeros((Bs, 6), F64)
+    res_p = rollout_whole_body_fused(wb, carry, cmd, 4, _TICK_MPC,
+                                     n_substeps=N_SUB, record=False)
+    res_d = rollout_whole_body_fused_decimated(
+        wb, carry, cmd, 4, _TICK_MPC, mpc_every=1, n_substeps=N_SUB,
+        record=False)
+    for name in ("R", "x", "u", "q", "anchor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res_d.plant, name)),
+            np.asarray(getattr(res_p.plant, name)), err_msg=name)
+
+    res_2 = rollout_whole_body_fused_decimated(
+        wb, carry, cmd, 4, _TICK_MPC, mpc_every=2, n_substeps=N_SUB,
+        record=True)
+    assert np.isfinite(np.asarray(res_2.plant.u)).all()
+    assert res_2.trace.x.shape[0] == 2  # one entry per MPC group
