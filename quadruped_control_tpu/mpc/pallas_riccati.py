@@ -81,7 +81,8 @@ def _mpc_kernel(yaw_ref, r_ref, mIb_ref, mu_ref, fz_ref, xi0_ref, ref_ref,
                 Psc, PAsc, PBsc, Lsc, Dsc, Lxsc, Kstg, kst,
                 Fsc, ssc, zsc, rpsc, rdsc, dFsc, csc, hsc, bFsc, dma_sem,
                 *, n_steps, dt, state_weights, alpha, iterations,
-                sigma_c, tau, tol, use_hbm_k=True):
+                sigma_c, tau, tol, use_hbm_k=True, warm_refs=None,
+                warm_out=None):
     f32 = jnp.float32
     N = n_steps
     # Long horizons brush the 16 MB VMEM ceiling (N=20 missed by 16 KB):
@@ -315,20 +316,69 @@ def _mpc_kernel(yaw_ref, r_ref, mIb_ref, mu_ref, fz_ref, xi0_ref, ref_ref,
         lax.fori_loop(0, N, adj, zerox, unroll=False)
 
     # ---- init ------------------------------------------------------------
-    def init_vars(i, _):
-        ssc[i] = jnp.maximum(hsc[i], 1.0)
-        zsc[i] = 1.0 / ssc[i]
-        return 0
+    if warm_refs is None:
+        def init_vars(i, _):
+            ssc[i] = jnp.maximum(hsc[i], 1.0)
+            zsc[i] = 1.0 / ssc[i]
+            return 0
 
-    lax.fori_loop(0, N * MC, init_vars, 0)
+        lax.fori_loop(0, N * MC, init_vars, 0)
 
-    def init_F(i, _):
-        Fsc[i] = vzero
-        if track_best:
-            bFsc[i] = vzero
-        return 0
+        def init_F(i, _):
+            Fsc[i] = vzero
+            if track_best:
+                bFsc[i] = vzero
+            return 0
 
-    lax.fori_loop(0, N * NU, init_F, 0)
+        lax.fori_loop(0, N * NU, init_F, 0)
+    else:
+        # Warm start from the previous tick's horizon solution (the
+        # receding-horizon analogue of the fused QP kernel's 4-tuple warm
+        # mode / the reference's qpOASES hotstart economics,
+        # balance_controller.cpp:193-195). The carry is in ORIGINAL units:
+        # F in Newtons, s in constraint units, z UNSCALED (z_orig = z/nu —
+        # nu is recomputed per tick, so duals are rescaled on load). Any
+        # (step, leg) whose stance-schedule bit changed since the previous
+        # tick resets cold; st_prev = -1 (init_mpc_warm_packed) resets
+        # everything, making the first tick exactly the cold start.
+        Fw, sw, zw, stw = warm_refs
+        interior = f32(1e-2)
+        inv_sf = f32(1.0 / SIGMA_F)
+
+        def init_vars_w(i, _):
+            t = i // MC
+            rr = i - t * MC
+            leg = rr // 6
+            changed = jnp.abs(st_ref[0, t * 4 + leg]
+                              - stw[0, t * 4 + leg]) > 0.5
+            s_cold = jnp.maximum(hsc[i], 1.0)
+            s_warm = jnp.maximum(sw[0, i], interior)
+            # Floor the COMPLEMENTARITY PRODUCT, not z absolutely: row
+            # scales span 1 (cone rows) to 1e4 (swing relax rows) — an
+            # absolute z floor of 1e-2 would inject s*z ~ 100 on every
+            # swing row (~50x the cold start's mu), and the IPM then
+            # spends its whole budget re-centering away from that
+            # artifact (measured: warm trot conv 0.03, robot falls).
+            # s*z >= interior keeps the point interior at mu ~= 1e-2
+            # per row without distorting the warm point.
+            z_warm = jnp.maximum(zw[0, i] * nu, interior / s_warm)
+            ssc[i] = jnp.where(changed, s_cold, s_warm)
+            zsc[i] = jnp.where(changed, 1.0 / s_cold, z_warm)
+            return 0
+
+        lax.fori_loop(0, N * MC, init_vars_w, 0)
+
+        def init_F_w(i, _):
+            t = i // NU
+            leg = (i - t * NU) // 3
+            stc = st_ref[0, t * 4 + leg]
+            keep = (jnp.abs(stc - stw[0, t * 4 + leg]) < 0.5) & (stc > 0.5)
+            Fsc[i] = jnp.where(keep, Fw[0, i] * inv_sf, vzero)
+            if track_best:
+                bFsc[i] = Fsc[i]
+            return 0
+
+        lax.fori_loop(0, N * NU, init_F_w, 0)
 
     best_merit0 = vzero + jnp.float32(3.0e38)
 
@@ -748,6 +798,18 @@ def _mpc_kernel(yaw_ref, r_ref, mIb_ref, mu_ref, fz_ref, xi0_ref, ref_ref,
 
     lax.fori_loop(0, N * NU, out_body, 0)
 
+    if warm_out is not None:
+        # Next-tick warm carry: [s | z/nu] in original units (F rides the
+        # F_ref output; the schedule slice rides the tick's own carry).
+        inv_nu = 1.0 / nu
+
+        def wout_body(i, _):
+            warm_out[i] = ssc[i]
+            warm_out[N * MC + i] = zsc[i] * inv_nu
+            return 0
+
+        lax.fori_loop(0, N * MC, wout_body, 0)
+
     # Flag calibration: with adaptive centering the scaled dual residual
     # lands at p50 ~1e-4 / p99 ~4.4e-4 (v5e, 40 iterations) and the measured
     # OBJECTIVE parity vs the condensed Mehrotra solver is ~1e-5-relative
@@ -905,7 +967,8 @@ class _OffRef:
         return self._ref[b, self._off + idx]
 
 
-def solve_mpc_qp_riccati_packed(mpc_p, *, n_steps: int, dt: float,
+def solve_mpc_qp_riccati_packed(mpc_p, warm_p=None, *, n_steps: int,
+                                dt: float,
                                 mass: float, inertia_diag, mu: float,
                                 fz_min: float, fz_max: float,
                                 state_weights, alpha: float = 1e-6,
@@ -923,6 +986,14 @@ def solve_mpc_qp_riccati_packed(mpc_p, *, n_steps: int, dt: float,
     Returns packed ``(F_p, diag_p)``: F_p (nb, N*NU, rows, 128) horizon
     forces in Newtons (step-0 slice = the tick's GRFs), diag_p rows
     [conv, pr, dr, gap, nu, 0] (the kernel's native order).
+
+    ``warm_p = (F_p_prev, sz_p_prev, sched_p_prev)`` warm-starts the IPM
+    from the previous tick's horizon solution (F in Newtons — the previous
+    F_p output; sz = [s | z] original units; sched = the previous tick's
+    N*4 stance schedule, -1 for a cold first tick). Rows whose schedule
+    bit changed reset cold. The return becomes
+    ``(F_p, diag_p, sz_p_new)`` — thread F_p/sz/schedule into the next
+    call's warm_p.
     """
     nb, kb, rows, _ = mpc_p.shape
     N = n_steps
@@ -930,6 +1001,7 @@ def solve_mpc_qp_riccati_packed(mpc_p, *, n_steps: int, dt: float,
     f32 = jnp.float32
     mpc_p = mpc_p.astype(f32)
     Ibf = tuple(float(v) for v in inertia_diag)
+    warm = warm_p is not None
 
     use_hbm_k = not interpret
     kern = partial(
@@ -938,7 +1010,7 @@ def solve_mpc_qp_riccati_packed(mpc_p, *, n_steps: int, dt: float,
         alpha=float(alpha), iterations=iterations, sigma_c=float(sigma_c),
         tau=float(tau), tol=float(tol), use_hbm_k=use_hbm_k)
 
-    def entry(mpc_ref, F_ref, diag_ref, Kout, *scratch):
+    def entry_cold(mpc_ref, F_ref, diag_ref, Kout, *scratch):
         if not use_hbm_k:
             scratch = list(scratch) + [None]  # no dma_sem
         xi0 = [mpc_ref[0, i] for i in range(NX)]
@@ -950,23 +1022,57 @@ def solve_mpc_qp_riccati_packed(mpc_p, *, n_steps: int, dt: float,
              _OffRef(mpc_ref, 25 + 4 * N), _OffRef(mpc_ref, 25),
              F_ref.at[0], diag_ref.at[0], Kout, *scratch)
 
-    Fp, diag, _K = pl.pallas_call(
-        entry,
+    def entry_warm(mpc_ref, Fw_ref, sz_ref, stw_ref, F_ref, diag_ref,
+                   wout_ref, Kout, *scratch):
+        if not use_hbm_k:
+            scratch = list(scratch) + [None]  # no dma_sem
+        xi0 = [mpc_ref[0, i] for i in range(NX)]
+        r = [mpc_ref[0, NX + j] for j in range(12)]
+        vz = xi0[0] * 0.0
+        mIb = [vz + f32(mass)] + [vz + f32(v) for v in Ibf]
+        kern([xi0[2]], r, mIb, [vz + f32(mu)],
+             [vz + f32(fz_min), vz + f32(fz_max)], xi0,
+             _OffRef(mpc_ref, 25 + 4 * N), _OffRef(mpc_ref, 25),
+             F_ref.at[0], diag_ref.at[0], Kout, *scratch,
+             warm_refs=(Fw_ref, _OffRef(sz_ref, 0),
+                        _OffRef(sz_ref, N * MC), stw_ref),
+             warm_out=wout_ref.at[0])
+
+    vspec = partial(pl.BlockSpec, index_map=lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM)
+    in_specs = [vspec((1, kb, rows, LANE))]
+    out_specs = [
+        vspec((1, N * NU, rows, LANE)),
+        vspec((1, 6, rows, LANE)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, N * NU, rows, LANE), f32),
+        jax.ShapeDtypeStruct((nb, 6, rows, LANE), f32),
+    ]
+    inputs = (mpc_p,)
+    if warm:
+        Fw_p, sz_p, stw_p = warm_p
+        assert Fw_p.shape == (nb, N * NU, rows, LANE), Fw_p.shape
+        assert sz_p.shape == (nb, 2 * N * MC, rows, LANE), sz_p.shape
+        assert stw_p.shape == (nb, 4 * N, rows, LANE), stw_p.shape
+        in_specs += [vspec((1, N * NU, rows, LANE)),
+                     vspec((1, 2 * N * MC, rows, LANE)),
+                     vspec((1, 4 * N, rows, LANE))]
+        out_specs.append(vspec((1, 2 * N * MC, rows, LANE)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((nb, 2 * N * MC, rows, LANE), f32))
+        inputs = (mpc_p, Fw_p.astype(f32), sz_p.astype(f32),
+                  stw_p.astype(f32))
+    out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    out_shape.append(
+        jax.ShapeDtypeStruct((nb, N, NU * NX, rows, LANE), f32))
+
+    outs = pl.pallas_call(
+        entry_warm if warm else entry_cold,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((1, kb, rows, LANE), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((1, N * NU, rows, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, rows, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, N * NU, rows, LANE), f32),
-            jax.ShapeDtypeStruct((nb, 6, rows, LANE), f32),
-            jax.ShapeDtypeStruct((nb, N, NU * NX, rows, LANE), f32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((NX * NX, rows, LANE), f32),   # Psc
             pltpu.VMEM((NX * NX, rows, LANE), f32),   # PAsc
@@ -988,7 +1094,11 @@ def solve_mpc_qp_riccati_packed(mpc_p, *, n_steps: int, dt: float,
             pltpu.VMEM(((N * NU) if N <= 16 else 1, rows, LANE), f32),
         ] + ([pltpu.SemaphoreType.DMA(())] if use_hbm_k else []),
         interpret=interpret,
-    )(mpc_p)
+    )(*inputs)
+    if warm:
+        Fp, diag, sz_new, _K = outs
+        return Fp, diag, sz_new
+    Fp, diag, _K = outs
     return Fp, diag
 
 

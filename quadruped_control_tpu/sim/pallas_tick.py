@@ -87,12 +87,13 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                     qp_polish: bool = True, qp_warm_start: bool = True,
                     qp_polish_sweeps: int | None = None,
                     qp_polish_refine: int | None = None,
+                    qp_polish_multi_swap: bool = False,
                     contact_gate: float = 0.0,
                     raibert_cmd_symmetric: bool = False,
                     gravity_comp: bool = False,
                     controller: str = "balance", mpc_horizon: int = 8,
                     mpc_dt: float = 0.03, mpc_iterations: int = 15,
-                    mpc_state_weights=None,
+                    mpc_state_weights=None, mpc_warm_start: bool = False,
                     interpret: bool = False):
     """Build the fused tick: ``tick(state_p, carry_p, cmd_p, dt,
     n_substeps) -> (state_p, carry_p, diag_p)`` on packed tiles.
@@ -126,7 +127,18 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
     ``mpc_dt`` / ``mpc_iterations`` / ``mpc_state_weights`` mirror
     control/commander.commander_step. Use rows=8: the Riccati kernel's
     VMEM scratch (~10 MB at N=8) exceeds the 16 MB ceiling at rows=16.
-    No warm start yet (tick signature = the cold balance signature).
+    ``mpc_warm_start=True`` threads the previous tick's horizon solution
+    (F, s, z) + stance schedule through the scan carry and warm-starts the
+    Riccati IPM (schedule-changed rows reset cold) — the tick signature
+    becomes the warm 6-arg form and the first-tick carry comes from
+    :func:`init_mpc_warm_packed` (all -1 schedule == cold start).
+    Measured on v5e (BENCH_warm_mpc.json, 2026-08-21): warm-8 runs the
+    robust operating point at 1.082 ms/tick b1024 (946k ticks/s, 1.9x
+    cold-15) with per-solve certification 0.83 vs cold's 0.63; warm-6 is
+    1.21M ticks/s at cold-equal conv. Opt-in: mpc_iterations=10 tipped
+    the documented marginal-limit-cycle trot in the B=256 behavior drive
+    (PARITY.md "stability anatomy") — use warm-8, and re-check behavior
+    when changing the horizon or gait.
 
     ``qp_iterations=None`` resolves to 6 warm / 12 cold — the measured
     operating points (scripts/verify_warm_tick.py on v5e, 2026-08-20,
@@ -187,20 +199,47 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
             fz_max=float(bal.fz_max), state_weights=weights,
             iterations=mpc_iterations, interpret=interpret)
 
-        def tick(state_p, carry_p, cmd_p, dt: float, n_substeps: int):
-            (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
-             _qref_p, mpc_p) = commander_pre(state_p, carry_p, cmd_p)
-            F_p, dg = solve_mpc_qp_riccati_packed(mpc_p, **mpc_kw)
-            x_p = F_p[:, 0:12]  # step-0 GRFs (already stance-masked, N)
-            state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
-                                         tausw_p, st_p, dt, n_substeps)
+        def mpc_diag(dg):
             # Reorder the MPC diag [conv, pr, dr, gap, nu, 0] into the QP
             # diag convention [cert, conv, pr, dr, gap, *] the rollout
             # trace indexes (row 1 = converged).
-            diag_p = jnp.concatenate(
+            return jnp.concatenate(
                 [jnp.zeros_like(dg[:, 0:1]), dg[:, 0:4], dg[:, 4:5]],
                 axis=1)
-            return state_new_p, carry_new_p, (st_p, diag_p)
+
+        if mpc_warm_start:
+            def tick(state_p, carry_p, warm_p, cmd_p, dt: float,
+                     n_substeps: int):
+                (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p,
+                 carry_new_p, _qref_p, mpc_p) = commander_pre(
+                    state_p, carry_p, cmd_p)
+                F_p, dg, sz_new_p = solve_mpc_qp_riccati_packed(
+                    mpc_p, warm_p, **mpc_kw)
+                x_p = F_p[:, 0:12]  # step-0 GRFs (stance-masked, N)
+                state_new_p = stepper.packed(
+                    state_p, x_p.astype(state_p.dtype), tausw_p, st_p, dt,
+                    n_substeps)
+                # Next tick's warm carry: this tick's horizon forces +
+                # (s, z) + the schedule it was solved against (the kernel
+                # cold-resets rows whose schedule bit flips). Uniformly
+                # f32: the kernel computes f32 even on an f64 interpret
+                # path, and the scan carry structure must match.
+                sched_p = mpc_p[:, 25:25 + 4 * mpc_horizon].astype(
+                    jnp.float32)
+                warm_new_p = (F_p, sz_new_p, sched_p)
+                return (state_new_p, carry_new_p, warm_new_p,
+                        (st_p, mpc_diag(dg)))
+        else:
+            def tick(state_p, carry_p, cmd_p, dt: float, n_substeps: int):
+                (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p,
+                 carry_new_p, _qref_p, mpc_p) = commander_pre(
+                    state_p, carry_p, cmd_p)
+                F_p, dg = solve_mpc_qp_riccati_packed(mpc_p, **mpc_kw)
+                x_p = F_p[:, 0:12]  # step-0 GRFs (stance-masked, N)
+                state_new_p = stepper.packed(
+                    state_p, x_p.astype(state_p.dtype), tausw_p, st_p, dt,
+                    n_substeps)
+                return state_new_p, carry_new_p, (st_p, mpc_diag(dg))
 
         def held(state_p, carry_p, x_hold_p, cmd_p, dt: float,
                  n_substeps: int):
@@ -226,7 +265,10 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
         tick.consts = consts
         tick.stepper = stepper
         tick.rows = rows
-        tick.warm_start = False
+        tick.warm_start = mpc_warm_start
+        if mpc_warm_start:
+            tick.init_warm = partial(init_mpc_warm_packed,
+                                     horizon=mpc_horizon, rows=rows)
         return tick
 
     if qp_warm_start:
@@ -241,6 +283,7 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                 w_diag=w_diag, iterations=qp_iterations, polish=qp_polish,
                 polish_sweeps=qp_polish_sweeps,
                 polish_refine=qp_polish_refine,
+                polish_multi_swap=qp_polish_multi_swap,
                 rows=rows, interpret=interpret)
             state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
                                          tausw_p, st_p, dt, n_substeps)
@@ -257,6 +300,7 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                 w_diag=w_diag, iterations=qp_iterations, polish=qp_polish,
                 polish_sweeps=qp_polish_sweeps,
                 polish_refine=qp_polish_refine,
+                polish_multi_swap=qp_polish_multi_swap,
                 rows=rows, interpret=interpret)
             state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
                                          tausw_p, st_p, dt, n_substeps)
@@ -281,6 +325,18 @@ def init_qp_warm_packed(nb: int, rows: int, dtype=jnp.float32):
     shp = lambda k: (nb, k, rows, LANE)  # noqa: E731
     return (jnp.zeros(shp(_N), dtype), jnp.zeros(shp(_M), dtype),
             jnp.zeros(shp(_M), dtype), -jnp.ones(shp(4), dtype))
+
+
+def init_mpc_warm_packed(nb: int, *, horizon: int, rows: int,
+                         dtype=jnp.float32):
+    """First-tick warm carry for an ``mpc_warm_start`` fused tick:
+    zero (F, s, z) plus schedule = -1, which mismatches every current
+    schedule bit so the Riccati kernel resets every row cold — tick 1 is
+    exactly the cold start (mpc/pallas_riccati.py warm semantics)."""
+    shp = lambda k: (nb, k, rows, LANE)  # noqa: E731
+    return (jnp.zeros(shp(horizon * 12), dtype),
+            jnp.zeros(shp(2 * horizon * 24), dtype),
+            -jnp.ones(shp(4 * horizon), dtype))
 
 
 def pack_whole_body_state(state: WholeBodyState, rows: int):
@@ -381,8 +437,11 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
                 out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
             return (state_p, carry_p, warm_p), out
 
-        warm_p0 = (warm if warm is not None else
-                   init_qp_warm_packed(state_p.shape[0], rows, jnp.float32))
+        init_warm = getattr(
+            tick, "init_warm",
+            partial(init_qp_warm_packed, rows=rows, dtype=jnp.float32))
+        warm_p0 = (warm if warm is not None
+                   else init_warm(state_p.shape[0]))
         (state_p, carry_p, warm_f), rec = lax.scan(
             body, (state_p, carry_p, warm_p0), None, length=steps)
     else:

@@ -453,7 +453,7 @@ _NK_TRI = NK * (NK + 1) // 2  # 666 tiles: half the dense NK^2 scratch
 
 
 def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int,
-            refine: int, a0=None):
+            refine: int, a0=None, multi_swap: bool = False):
     """Structured-G port of pallas_ipm._polish_kernel. Returns
     (x, s, z, cert) in equilibrated units.
 
@@ -639,26 +639,43 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int,
               for r in range(M)]
         cert = jnp.maximum(cert, ok.astype(jnp.float32))
 
-        viol_best = jnp.full_like(cs[0], -big)
-        viol_idx = jnp.zeros_like(cs[0])
-        negz_best = jnp.full_like(cs[0], big)
-        negz_idx = jnp.zeros_like(cs[0])
-        for r in range(M):
-            viol_r = jnp.where(a[r] > 0.5, -big, -slack[r])
-            upd = viol_r > viol_best
-            viol_best = jnp.where(upd, viol_r, viol_best)
-            viol_idx = jnp.where(upd, f32(r), viol_idx)
-            nz_r = jnp.where(a[r] > 0.5, zp[r], big)
-            updn = nz_r < negz_best
-            negz_best = jnp.where(updn, nz_r, negz_best)
-            negz_idx = jnp.where(updn, f32(r), negz_idx)
-        do_add = viol_best > feas_tol
-        do_drop = (~do_add) & (negz_best < -z_tol)
-        a_new = list(a)
-        for r in range(M):
-            a_new[r] = jnp.where(do_add & (viol_idx == f32(r)), 1.0,
-                                 jnp.where(do_drop & (negz_idx == f32(r)),
-                                           0.0, a[r]))
+        if multi_swap:
+            # Swap EVERY violated/negative row at once. Single swaps
+            # (below — qpOASES's reliability-first rule) move the set one
+            # row per sweep; the degenerate 4-stance trot family's optimal
+            # set churns by several rows across a stance transition, which
+            # a 1-2 sweep budget cannot follow (warm-seeded single-swap
+            # certifies 63-68% of the harvested hard set; the oracle set
+            # certifies 100% at one sweep — scripts/tail_warm_polish_probe).
+            # Simultaneous swaps may cycle in theory; the compensated
+            # certification + best-iterate keep wrong sets harmless.
+            a_new = []
+            for r in range(M):
+                add_r = (-slack[r] > feas_tol) & ~(a[r] > 0.5)
+                drop_r = (a[r] > 0.5) & (zp[r] < -z_tol)
+                a_new.append(jnp.where(add_r, f32(1.0),
+                                       jnp.where(drop_r, f32(0.0), a[r])))
+        else:
+            viol_best = jnp.full_like(cs[0], -big)
+            viol_idx = jnp.zeros_like(cs[0])
+            negz_best = jnp.full_like(cs[0], big)
+            negz_idx = jnp.zeros_like(cs[0])
+            for r in range(M):
+                viol_r = jnp.where(a[r] > 0.5, -big, -slack[r])
+                upd = viol_r > viol_best
+                viol_best = jnp.where(upd, viol_r, viol_best)
+                viol_idx = jnp.where(upd, f32(r), viol_idx)
+                nz_r = jnp.where(a[r] > 0.5, zp[r], big)
+                updn = nz_r < negz_best
+                negz_best = jnp.where(updn, nz_r, negz_best)
+                negz_idx = jnp.where(updn, f32(r), negz_idx)
+            do_add = viol_best > feas_tol
+            do_drop = (~do_add) & (negz_best < -z_tol)
+            a_new = list(a)
+            for r in range(M):
+                a_new[r] = jnp.where(
+                    do_add & (viol_idx == f32(r)), 1.0,
+                    jnp.where(do_drop & (negz_idx == f32(r)), 0.0, a[r]))
         a = [jnp.where(cert > 0.5, a[r], a_new[r]) for r in range(M)]
         return a, bx, bz, bs, cert
 
@@ -675,7 +692,8 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int,
 def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                   x_ref, s_ref, z_ref, diag_ref, Ksc, Dsc, usc,
                   *, s_diag, w_diag, swing_relax, iterations, tau, tol,
-                  polish, polish_sweeps, polish_refine, warm_refs=None):
+                  polish, polish_sweeps, polish_refine,
+                  polish_multi_swap=False, warm_refs=None):
     """Kernel body. Modes: full (barrier + polish), barrier-only
     (polish=False), polish-only (3-tuple warm_refs + iterations == 0 — the
     barrier is skipped and the warm (x, s, z) in ORIGINAL units seed the
@@ -752,7 +770,7 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                             a0_warm[rr]) for rr in range(M)]
         x, s, z, cert = _polish(Qs, cs, Gsr, hs, x, s, z, Ksc, Dsc, usc,
                                 sweeps=polish_sweeps, refine=polish_refine,
-                                a0=a0)
+                                a0=a0, multi_swap=polish_multi_swap)
     else:
         cert = jnp.zeros_like(x[0])
 
@@ -891,12 +909,14 @@ def _prep_inputs(r_masked, b, stance, mu, fz_min, fz_max, rows=SUB):
 
 @partial(jax.jit, static_argnames=(
     "s_diag", "w_diag", "swing_relax", "iterations", "polish",
-    "polish_sweeps", "polish_refine", "tol", "tau", "rows", "interpret"))
+    "polish_sweeps", "polish_refine", "polish_multi_swap", "tol", "tau",
+    "rows", "interpret"))
 def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
                        s_diag, w_diag, swing_relax=SWING_ROW_RELAX,
                        iterations: int = 20, polish: bool = True,
                        polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
                        polish_refine: int = _POLISH_REFINE,
+                       polish_multi_swap: bool = False,
                        tol: float = 3e-5, tau: float = 0.995,
                        rows: int = SUB, warm=None, warm_stance_prev=None,
                        interpret: bool = False) -> IPMSolution:
@@ -944,8 +964,8 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
     xo, so, zo, diag = solve_grf_qp_fused_packed(
         *inputs, s_diag=s_diag, w_diag=w_diag, swing_relax=swing_relax,
         iterations=iterations, polish=polish, polish_sweeps=polish_sweeps,
-        polish_refine=polish_refine, tol=tol, tau=tau, rows=rows,
-        interpret=interpret)
+        polish_refine=polish_refine, polish_multi_swap=polish_multi_swap,
+        tol=tol, tau=tau, rows=rows, interpret=interpret)
 
     x = _unpack_rows(xo)
     s = _unpack_rows(so)
@@ -963,6 +983,7 @@ def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
                               iterations: int = 20, polish: bool = True,
                               polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
                               polish_refine: int = _POLISH_REFINE,
+                              polish_multi_swap: bool = False,
                               tol: float = 3e-5, tau: float = 0.995,
                               rows: int = SUB, interpret: bool = False):
     """The fused GRF-QP kernel on PRE-PACKED (nb, k, rows, 128) tiles.
@@ -1013,8 +1034,8 @@ def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
         s_diag=tuple(float(v) for v in s_diag), w_diag=float(w_diag),
         swing_relax=float(swing_relax), iterations=iterations, tau=tau,
         tol=tol, polish=polish, polish_sweeps=polish_sweeps,
-        polish_refine=polish_refine, has_warm=has_warm,
-        has_st_prev=has_st_prev)
+        polish_refine=polish_refine, polish_multi_swap=polish_multi_swap,
+        has_warm=has_warm, has_st_prev=has_st_prev)
 
     return pl.pallas_call(
         kern,
@@ -1106,12 +1127,13 @@ def assemble_qp_fused_debug(r_masked, b, stance, mu, fz_min, fz_max, *,
 
 @partial(jax.jit, static_argnames=(
     "s_diag", "w_diag", "swing_relax", "iterations", "polish_sweeps",
-    "polish_refine", "tol", "tau", "barrier_rows", "polish_rows",
-    "interpret"))
+    "polish_refine", "polish_multi_swap", "tol", "tau", "barrier_rows",
+    "polish_rows", "interpret"))
 def solve_grf_qp_fused_split(r_masked, b, stance, mu, fz_min, fz_max, *,
                              s_diag, w_diag, swing_relax=SWING_ROW_RELAX,
                              iterations: int = 20, polish_sweeps: int = 2,
                              polish_refine: int = _POLISH_REFINE,
+                             polish_multi_swap: bool = False,
                              tol: float = 3e-5, tau: float = 0.995,
                              barrier_rows: int = 32, polish_rows: int = 16,
                              interpret: bool = False) -> IPMSolution:
@@ -1132,19 +1154,22 @@ def solve_grf_qp_fused_split(r_masked, b, stance, mu, fz_min, fz_max, *,
     return solve_grf_qp_fused(
         r_masked, b, stance, mu, fz_min, fz_max, s_diag=s_diag,
         w_diag=w_diag, swing_relax=swing_relax, iterations=0, polish=True,
-        polish_sweeps=polish_sweeps, polish_refine=polish_refine, tol=tol,
+        polish_sweeps=polish_sweeps, polish_refine=polish_refine,
+        polish_multi_swap=polish_multi_swap, tol=tol,
         tau=tau, rows=polish_rows, warm=(sol1.x, sol1.s, sol1.z),
         interpret=interpret)
 
 
 @partial(jax.jit, static_argnames=(
     "s_diag", "w_diag", "swing_relax", "iterations", "polish_sweeps",
-    "polish_refine", "tail_divisor", "tail_iterations", "tail_sweeps",
-    "tail_refine", "tol", "tau", "rows", "split", "interpret"))
+    "polish_refine", "polish_multi_swap", "tail_divisor",
+    "tail_iterations", "tail_sweeps", "tail_refine", "tol", "tau", "rows",
+    "split", "interpret"))
 def solve_grf_qp_fused_two_phase(
         r_masked, b, stance, mu, fz_min, fz_max, *, s_diag, w_diag,
         swing_relax=SWING_ROW_RELAX, iterations: int = 20,
         polish_sweeps: int = 2, polish_refine: int = _POLISH_REFINE,
+        polish_multi_swap: bool = False,
         tail_divisor: int = 8, tail_iterations: int = 48,
         tail_sweeps: int = 32, tail_refine: int = 4,
         tol: float = 3e-5, tau: float = 0.995, rows: int = SUB,
@@ -1185,14 +1210,16 @@ def solve_grf_qp_fused_two_phase(
             r_masked, b, stance, mu, fz_min, fz_max, s_diag=s_diag,
             w_diag=w_diag, swing_relax=swing_relax, iterations=iterations,
             polish_sweeps=polish_sweeps, polish_refine=polish_refine,
+            polish_multi_swap=polish_multi_swap,
             tol=tol, tau=tau, polish_rows=rows, interpret=interpret)
     else:
         sol1 = solve_grf_qp_fused(
             r_masked, b, stance, mu, fz_min, fz_max, s_diag=s_diag,
             w_diag=w_diag, swing_relax=swing_relax, iterations=iterations,
             polish=True, polish_sweeps=polish_sweeps,
-            polish_refine=polish_refine, tol=tol, tau=tau, rows=rows,
-            interpret=interpret)
+            polish_refine=polish_refine,
+            polish_multi_swap=polish_multi_swap, tol=tol, tau=tau,
+            rows=rows, interpret=interpret)
 
     # Unconverged instances first (stable order); take the first Bt slots.
     order = jnp.argsort(sol1.converged.astype(jnp.int32), stable=True)
@@ -1210,7 +1237,8 @@ def solve_grf_qp_fused_two_phase(
         swing_relax=swing_relax, iterations=tail_iterations, polish=True,
         polish_sweeps=tail_sweeps,
         polish_refine=polish_refine if tail_refine is None else tail_refine,
-        tol=tol, tau=tau, rows=rows, interpret=interpret)
+        polish_multi_swap=polish_multi_swap, tol=tol, tau=tau, rows=rows,
+        interpret=interpret)
 
     # Scatter the re-solve back wherever it improved the flag.
     better = sol2.converged & ~sol1.converged[idx]
@@ -1256,6 +1284,7 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                            iterations: int = 20, polish: bool = True,
                            polish_sweeps: int = _POLISH_SWEEPS_PALLAS,
                            polish_refine: int = _POLISH_REFINE,
+                           polish_multi_swap: bool = False,
                            rows: int = SUB, two_phase: bool = False,
                            tail_divisor: int = 8, tail_iterations: int = 48,
                            tail_sweeps: int = 32, tail_refine: int = 4,
@@ -1280,8 +1309,10 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
     into a B/prox_divisor slice and re-solved by proximal restart in dense
     jnp form, certifying against the ORIGINAL KKT. Measured on harvested
     hard instances: ~80% of the kernel-saturated tail certifies (overall
-    conv 0.9991 -> ~0.9998 at 16k batch) for ~1.3-1.6x the two-phase cost —
-    opt-in because the throughput headline prefers the two-phase point.
+    conv 0.9991 -> ~0.9998 at 16k batch) for ~1.3-1.6x the two-phase cost.
+    bench.py defaults this ON (measured 2026-08-20 at 32k: conv 0.9998,
+    1.24M QPs/s marginal); QCT_BENCH_PROX=0 selects the two-phase-only
+    throughput point (~2.3M marginal, conv 0.9985).
     """
     xddot_d, wdot_d = pd_accelerations(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                                        cfg)
@@ -1322,6 +1353,7 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
     common = dict(
         s_diag=tuple(cfg.s_diag), w_diag=float(cfg.w_diag),
         polish_sweeps=polish_sweeps, polish_refine=polish_refine,
+        polish_multi_swap=polish_multi_swap,
         rows=rows, interpret=interpret,
     )
     if two_phase:

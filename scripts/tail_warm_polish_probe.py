@@ -156,6 +156,31 @@ def main():
                            polish_refine=2,
                            warm=tuple(pad(w) for w in warm),
                            warm_stance_prev=pad(st_prev))),
+        ("warm p4r1", dict(iterations=6, polish=True, polish_sweeps=4,
+                           polish_refine=1,
+                           warm=tuple(pad(w) for w in warm),
+                           warm_stance_prev=pad(st_prev))),
+        ("warm p2r1 MULTI", dict(iterations=6, polish=True,
+                                 polish_sweeps=2, polish_refine=1,
+                                 polish_multi_swap=True,
+                                 warm=tuple(pad(w) for w in warm),
+                                 warm_stance_prev=pad(st_prev))),
+        ("warm p3r1 MULTI", dict(iterations=6, polish=True,
+                                 polish_sweeps=3, polish_refine=1,
+                                 polish_multi_swap=True,
+                                 warm=tuple(pad(w) for w in warm),
+                                 warm_stance_prev=pad(st_prev))),
+        ("warm p6r1", dict(iterations=6, polish=True, polish_sweeps=6,
+                           polish_refine=1,
+                           warm=tuple(pad(w) for w in warm),
+                           warm_stance_prev=pad(st_prev))),
+        ("warm p8r1", dict(iterations=6, polish=True, polish_sweeps=8,
+                           polish_refine=1,
+                           warm=tuple(pad(w) for w in warm),
+                           warm_stance_prev=pad(st_prev))),
+        ("barrier p3r1 MULTI", dict(iterations=6, polish=True,
+                                    polish_sweeps=3, polish_refine=1,
+                                    polish_multi_swap=True)),
     ):
         sol = solve_grf_qp_fused(*args, **kw, **solkw)
         cv = np.asarray(sol.converged)[:n]

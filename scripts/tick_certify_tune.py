@@ -89,16 +89,19 @@ def main():
     rows = 16
     log(f"device: {jax.devices()[0]}, rows={rows}")
 
+    # Grid from the offline frontier (scripts/tail_warm_polish_probe.py +
+    # the numpy search replica on the harvested hard set): warm-set polish
+    # certifies 63% at 1 sweep, 84% at 4-12 (the 'wanderer' family starts
+    # ~8 rows from the oracle set and converges ~1 row/sweep), 95% at 24
+    # (saturating — 5% of the hard set defeats the f32 single-swap search
+    # at any budget). Multi-swap and over-active seeds measurably hurt.
     grid = (
-        ("warm6-nopolish", dict(qp_iterations=6, qp_polish=False)),
-        ("warm6-p1r1", dict(qp_iterations=6, qp_polish=True,
-                            qp_polish_sweeps=1, qp_polish_refine=1)),
         ("warm6-p2r1", dict(qp_iterations=6, qp_polish=True,
                             qp_polish_sweeps=2, qp_polish_refine=1)),
-        ("warm6-p2r2", dict(qp_iterations=6, qp_polish=True,
-                            qp_polish_sweeps=2, qp_polish_refine=2)),
-        ("warm4-p2r1", dict(qp_iterations=4, qp_polish=True,
-                            qp_polish_sweeps=2, qp_polish_refine=1)),
+        ("warm6-p8r1", dict(qp_iterations=6, qp_polish=True,
+                            qp_polish_sweeps=8, qp_polish_refine=1)),
+        ("warm6-p24r1", dict(qp_iterations=6, qp_polish=True,
+                             qp_polish_sweeps=24, qp_polish_refine=1)),
     )
     out = {}
     for name, kw in grid:

@@ -633,3 +633,52 @@ def test_mpc_fused_decimated_every1_matches_pertick():
         record=True)
     assert np.isfinite(np.asarray(res_2.plant.u)).all()
     assert res_2.trace.x.shape[0] == 2  # one entry per MPC group
+
+
+_TICK_MPC_WARM = make_fused_tick(MODEL, CFG, _CONTACT, rows=ROWS,
+                                 controller="mpc", mpc_horizon=_MPC_N,
+                                 mpc_dt=_MPC_DT, mpc_iterations=_MPC_IT,
+                                 mpc_warm_start=True, interpret=True)
+
+
+def test_mpc_warm_tick_first_tick_is_cold_start():
+    """The zero/schedule=-1 warm carry (init_mpc_warm_packed) resets every
+    horizon row, so tick 1 of an mpc_warm_start tick is BITWISE the cold
+    MPC tick (same guarantee as the balance-QP warm tick)."""
+    Bs = 64
+    wb = init_whole_body_state(CFG, (Bs,), dtype=F64)
+    carry = init_commander_carry((Bs,), dtype=F64)
+    cmd = jnp.zeros((Bs, 6), F64)
+
+    res_c = rollout_whole_body_fused(wb, carry, cmd, 1, _TICK_MPC,
+                                     n_substeps=N_SUB, record=False)
+    res_w = rollout_whole_body_fused(wb, carry, cmd, 1, _TICK_MPC_WARM,
+                                     n_substeps=N_SUB, record=False)
+    for name in ("R", "x", "u", "q", "anchor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res_w.plant, name)),
+            np.asarray(getattr(res_c.plant, name)), err_msg=name)
+
+
+def test_mpc_warm_tick_rollout_standup():
+    """Short stand-up through the WARM fused MPC tick: the receding-horizon
+    warm start (previous tick's F/s/z + schedule-change cold resets) keeps
+    the loop finite and behaviorally on par with the cold tick at equal
+    iterations (device economics: scripts/verify_mpc_fused_tick.py)."""
+    Bs = 64
+    wb = init_whole_body_state(CFG, (Bs,), dtype=F64)
+    carry = init_commander_carry((Bs,), dtype=F64)
+    cmd = jnp.zeros((Bs, 6), F64)
+    res_w = rollout_whole_body_fused(wb, carry, cmd, 4, _TICK_MPC_WARM,
+                                     n_substeps=N_SUB, record=True)
+    res_c = rollout_whole_body_fused(wb, carry, cmd, 4, _TICK_MPC,
+                                     n_substeps=N_SUB, record=True)
+    assert np.isfinite(np.asarray(res_w.plant.u)).all()
+    assert np.isfinite(np.asarray(res_w.plant.x)).all()
+    assert res_w.warm is not None and len(res_w.warm) == 3
+    # Warm vs cold trajectories agree to the solver tolerance (the warm
+    # IPM lands on an equal-or-better iterate of the same horizon QP;
+    # forces differ only along the documented near-nullspace).
+    dz = np.abs(np.asarray(res_w.plant.x[:, 2])
+                - np.asarray(res_c.plant.x[:, 2])).max()
+    assert dz < 5e-3, dz
