@@ -266,6 +266,7 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
         tick.stepper = stepper
         tick.rows = rows
         tick.warm_start = mpc_warm_start
+        tick.mpc_horizon = mpc_horizon
         if mpc_warm_start:
             tick.init_warm = partial(init_mpc_warm_packed,
                                      horizon=mpc_horizon, rows=rows)
@@ -533,11 +534,26 @@ def rollout_whole_body_fused_decimated(plant: WholeBodyState,
                               axis=0)
     cmd_p = pack_comps(cmd, rows)
 
+    # A warm MPC tick threads its horizon carry across SOLVE GROUPS (the
+    # hold ticks skip the Riccati kernel, so the carry ages mpc_every
+    # control ticks between solves — schedule-changed rows still reset
+    # cold in-kernel, which covers the larger per-group churn).
+    warm_start = getattr(tick, "warm_start", False)
+
     def group_body(sc, _):
-        state_p, carry_p = sc
+        if warm_start:
+            state_p, carry_p, warm_p = sc
+        else:
+            state_p, carry_p = sc
         (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
          _qref_p, mpc_p) = tick.pre(state_p, carry_p, cmd_p)
-        F_p, dg = tick.solve(mpc_p)
+        if warm_start:
+            F_p, dg, sz_new_p = tick.solve(mpc_p, warm_p)
+            sched_p = mpc_p[:, 25:25 + 4 * tick.mpc_horizon].astype(
+                jnp.float32)
+            warm_p = (F_p, sz_new_p, sched_p)
+        else:
+            F_p, dg = tick.solve(mpc_p)
         x_hold = F_p[:, 0:12]
         state_p = tick.stepper.packed(state_p,
                                       x_hold.astype(state_p.dtype),
@@ -558,10 +574,18 @@ def rollout_whole_body_fused_decimated(plant: WholeBodyState,
                 [jnp.zeros_like(dg[:, 0:1]), dg[:, 0:4], dg[:, 4:5]],
                 axis=1)
             out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
-        return (state_p, carry_p), out
+        sc = ((state_p, carry_p, warm_p) if warm_start
+              else (state_p, carry_p))
+        return sc, out
 
-    (state_p, carry_p), rec = lax.scan(group_body, (state_p, carry_p),
-                                       None, length=steps // mpc_every)
+    sc0 = ((state_p, carry_p, tick.init_warm(state_p.shape[0]))
+           if warm_start else (state_p, carry_p))
+    sc_f, rec = lax.scan(group_body, sc0, None,
+                         length=steps // mpc_every)
+    if warm_start:
+        state_p, carry_p, _warm_f = sc_f
+    else:
+        state_p, carry_p = sc_f
 
     trace = None
     if record:

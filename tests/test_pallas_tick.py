@@ -682,3 +682,31 @@ def test_mpc_warm_tick_rollout_standup():
     dz = np.abs(np.asarray(res_w.plant.x[:, 2])
                 - np.asarray(res_c.plant.x[:, 2])).max()
     assert dz < 5e-3, dz
+
+
+def test_mpc_warm_decimated_every1_matches_pertick():
+    """Decimated rollout with a WARM MPC tick at mpc_every=1 is BITWISE
+    the per-tick warm rollout — the warm carry threads across solve
+    groups exactly like the per-tick scan carry."""
+    from quadruped_control_tpu.sim.pallas_tick import (
+        rollout_whole_body_fused_decimated,
+    )
+
+    Bs = 64
+    wb = init_whole_body_state(CFG, (Bs,), dtype=F64)
+    carry = init_commander_carry((Bs,), dtype=F64)
+    cmd = jnp.zeros((Bs, 6), F64)
+    res_p = rollout_whole_body_fused(wb, carry, cmd, 4, _TICK_MPC_WARM,
+                                     n_substeps=N_SUB, record=False)
+    res_d = rollout_whole_body_fused_decimated(
+        wb, carry, cmd, 4, _TICK_MPC_WARM, mpc_every=1, n_substeps=N_SUB,
+        record=False)
+    for name in ("R", "x", "u", "q", "anchor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res_d.plant, name)),
+            np.asarray(getattr(res_p.plant, name)), err_msg=name)
+
+    res_2 = rollout_whole_body_fused_decimated(
+        wb, carry, cmd, 4, _TICK_MPC_WARM, mpc_every=2, n_substeps=N_SUB,
+        record=True)
+    assert np.isfinite(np.asarray(res_2.plant.u)).all()
