@@ -97,10 +97,20 @@ def main():
     def round_time(seed):
         if MARGINAL:
             # Marginal per-rep cost: (3*REPS run - REPS run) / (2*REPS)
-            # cancels fixed per-call dispatch overhead.
-            t1 = run_reps(seed, REPS)
-            t3 = run_reps(seed + 1000, 3 * REPS)
-            return (t3 - t1) / (2 * REPS)
+            # cancels fixed per-call dispatch overhead. The tunnel's
+            # one-sided contention can inflate the SHORT run past a third
+            # of the long one, making the difference non-positive — such a
+            # round is noise, not a measurement: discard it (retry with a
+            # fresh seed; give up after 3 tries rather than loop forever).
+            for retry in range(3):
+                t1 = run_reps(seed + 10000 * retry, REPS)
+                t3 = run_reps(seed + 1000 + 10000 * retry, 3 * REPS)
+                dt = (t3 - t1) / (2 * REPS)
+                if dt > 0:
+                    return dt
+                log(f"  marginal round discarded (non-positive {dt*1e3:.2f}"
+                    " ms): short run hit tunnel contention; retrying")
+            return t3 / (3 * REPS)  # fall back to the plain per-rep time
         return run_reps(seed, REPS) / REPS
 
     times = []

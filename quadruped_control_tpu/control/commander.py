@@ -116,7 +116,8 @@ def commander_precursors(com: ComState, joints: JointState,
                          carry: CommanderCarry, cmd_twist, dt,
                          cfg: ControlConfig, *, weight_shift: float = 0.0,
                          contact_gate: float = 0.0,
-                         raibert_cmd_symmetric: bool = False
+                         raibert_cmd_symmetric: bool = False,
+                         heading_hold: bool = False
                          ) -> CommanderPrecursors:
     """Commander steps 1-8 (SURVEY.md §3.1): FK, the standing/gait state
     machine, desired-state generation, foothold planning, swing-trajectory
@@ -155,6 +156,22 @@ def commander_precursors(com: ComState, joints: JointState,
         foot_planner.cpp:87). True = use the COMMANDED velocity in the
         travel term (k- and capture-point terms keep measured feedback),
         so a trot's lateral rocking does not alias into foothold scatter.
+      heading_hold: EXPERIMENTAL, measured NEGATIVE result — keep False.
+        False = reference behavior: the desired pose RE-ANCHORS to the
+        measured pose every tick (integrate_twist_yaw(current pose, cmd,
+        dt), commander_node.cpp:399-412), so heading is never servoed
+        beyond a one-dt lead and the robot's yaw RANDOM-WALKS under the
+        trot (measured ~0.3 rad over a 6 s stand+in-place phase on full
+        physics) — the human pilot of the reference's teleop demos is the
+        implicit heading regulator. True = pull the desired yaw toward
+        the absolute reference heading wz_cmd * gait_time, clamped to a
+        +-0.05 rad lead beyond measured. Measured on full physics
+        (PARITY.md "Reverse-walking anatomy"): the trot has almost no
+        spare yaw authority — both the raw step and this clamped lead
+        destabilize even the robustly-stable FORWARD trot (yaw moments
+        ride the same diagonal-support axis as the roll recovery), so the
+        probe documents WHY pilot-less reverse fails rather than fixing
+        it. Kept for reproducibility of that measurement.
     Returns:
       CommanderPrecursors.
     """
@@ -184,6 +201,30 @@ def commander_precursors(com: ComState, joints: JointState,
         com.R, com.x, cmd_twist, cfg.cmd_integration_dt
     )
     x_d_walk = x_d_walk.at[..., 2].set(cfg.stand.height)  # height pinned (:407)
+    if heading_hold:
+        # Absolute-heading regulation (see the option docstring): pull the
+        # desired yaw toward the reference heading wz * time-since-walk-
+        # start instead of re-anchoring to measured yaw + wz dt. The pull
+        # is CLAMPED to +-0.05 rad beyond the measured yaw — a step to the
+        # absolute target measurably destabilizes the trot (the kp_w=5000
+        # rotation gain turns a 0.3 rad yaw step into a saturating moment
+        # demand that fights the roll budget on diagonal support); the
+        # clamped lead is the gentle continuous correction a pilot would
+        # fly. Position stays re-anchored (reference behavior) — heading
+        # is the direction-unstable channel.
+        yaw_ref = cmd_twist[..., 5] * jnp.maximum(gait_time, 0.0)
+        yaw_meas = jnp.arctan2(com.R[..., 1, 0], com.R[..., 0, 0])
+        err = yaw_ref - yaw_meas
+        err = jnp.arctan2(jnp.sin(err), jnp.cos(err))  # wrap to (-pi, pi]
+        yaw_d = yaw_meas + jnp.clip(err, -0.05, 0.05)
+        cy, sy = jnp.cos(yaw_d), jnp.sin(yaw_d)
+        zr = jnp.zeros_like(cy)
+        on = jnp.ones_like(cy)
+        R_d_walk = jnp.stack([
+            jnp.stack([cy, -sy, zr], axis=-1),
+            jnp.stack([sy, cy, zr], axis=-1),
+            jnp.stack([zr, zr, on], axis=-1),
+        ], axis=-2)
     Vw = (transform_adjoint(com.R, com.x) @ cmd_twist[..., None])[..., 0]
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), com.R.shape)
@@ -345,6 +386,7 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    mpc_state_weights=None, weight_shift: float = 0.0,
                    contact_gate: float = 0.0,
                    raibert_cmd_symmetric: bool = False,
+                   heading_hold: bool = False,
                    gravity_comp_tau=None):
     """One control tick. All arguments broadcast over leading batch dims.
 
@@ -379,8 +421,8 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         MPC decimation: the reference-class MPC runs at 25-50 Hz while the
         loop ticks at 100-300 Hz; rollout_mpc_decimated uses this). The
         swing pipeline (footholds, trajectories, IK, PD) still runs.
-      weight_shift / contact_gate / raibert_cmd_symmetric: opt-in
-        extensions, documented on :func:`commander_precursors`.
+      weight_shift / contact_gate / raibert_cmd_symmetric / heading_hold:
+        opt-in extensions, documented on :func:`commander_precursors`.
       gravity_comp_tau: optional (..., 4, 3) leg gravity torques to add to
         the commanded torques (stance AND swing) before clamping — e.g.
         ``sim.dynamics.leg_gravity_torques(model, joints.q, com.R)``. The
@@ -399,6 +441,7 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         com, joints, carry, cmd_twist, dt, cfg, weight_shift=weight_shift,
         contact_gate=contact_gate,
         raibert_cmd_symmetric=raibert_cmd_symmetric,
+        heading_hold=heading_hold,
     )
     feet_body = pre.feet_body
     standing, gait_time, walking = pre.standing, pre.gait_time, pre.walking

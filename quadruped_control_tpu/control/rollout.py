@@ -56,21 +56,29 @@ class RolloutResult(NamedTuple):
                                    "qp_polish", "record", "qp_backend",
                                    "controller", "mpc_horizon", "mpc_dt",
                                    "mpc_iterations", "mpc_backend",
-                                   "weight_shift"))
+                                   "weight_shift", "cmd_schedule",
+                                   "heading_hold"))
 def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             cfg: ControlConfig, qp_iterations: int = 12,
             qp_polish: bool = False, record: bool = True,
             qp_backend: str = "jnp", controller: str = "balance",
             mpc_horizon: int = 8, mpc_dt: float = 0.05,
             mpc_iterations: int = 25, mpc_backend: str = "structured",
-            mpc_state_weights=None, weight_shift: float = 0.0) -> RolloutResult:
+            mpc_state_weights=None, weight_shift: float = 0.0,
+            cmd_schedule: bool = False,
+            heading_hold: bool = False) -> RolloutResult:
     """Run ``steps`` control ticks of the closed loop.
 
     Args:
       plant: initial plant state (see control/plant.init_plant_state).
       carry: initial commander carry.
-      cmd_twist: (..., 6) commanded body twist, constant over the rollout
-        (time-varying commands: call rollout repeatedly or scan outside).
+      cmd_twist: (..., 6) commanded body twist, constant over the rollout —
+        or, with ``cmd_schedule=True``, a (steps, ..., 6) PER-TICK command
+        scanned alongside the loop: the reference's teleop genre, where
+        cmdCallback updates the twist every tick
+        (commander_node.cpp:191-202) and the headline demo walks forward
+        AND backward in one session (README.md:57). Build schedules with
+        :func:`piecewise_command`.
       steps: number of control ticks (static).
       cfg: control configuration; the control period is 1/cfg.frequency and
         the plant integrates one step per tick.
@@ -81,16 +89,22 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
       RolloutResult with final states and (optionally) the telemetry trace.
     """
     dt = 1.0 / cfg.frequency
+    xs = None
+    if cmd_schedule:
+        assert cmd_twist.shape[0] == steps, (cmd_twist.shape, steps)
+        xs = cmd_twist
 
-    def body(state, _):
+    def body(state, cmd_t):
+        cmd = cmd_t if cmd_schedule else cmd_twist
         plant_s, carry_s = state
         out, carry_next = commander_step(
-            plant_s.com, plant_s.joints, carry_s, cmd_twist, dt, cfg,
+            plant_s.com, plant_s.joints, carry_s, cmd, dt, cfg,
             qp_iterations=qp_iterations, qp_polish=qp_polish,
             qp_backend=qp_backend, controller=controller,
             mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
             mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
             mpc_state_weights=mpc_state_weights, weight_shift=weight_shift,
+            heading_hold=heading_hold,
         )
         plant_next = plant_step(
             plant_s, out.forces_world, out.gait.in_stance,
@@ -111,9 +125,61 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             trace = 0
         return (plant_next, carry_next), trace
 
-    (plant_f, carry_f), trace = lax.scan(body, (plant, carry), None,
+    (plant_f, carry_f), trace = lax.scan(body, (plant, carry), xs,
                                          length=steps)
     return RolloutResult(plant=plant_f, carry=carry_f, trace=trace)
+
+
+def piecewise_command(segments, frequency: float, dtype=jnp.float32,
+                      ramp: float = 0.0):
+    """Build a (T, 6) per-tick command schedule from piecewise-constant
+    segments — the teleop command stream as data.
+
+    The reference's demos are driven by a human on a PS4 joystick whose
+    cmd_vel messages update the commander's twist every tick
+    (commander_node.cpp:191-202, teleop_ps4_walking.yaml:5-12). A rollout
+    has no human in the loop; this encodes the same workflow as a schedule:
+
+        cmd = piecewise_command([(1.5, [0, 0, 0, 0, 0, 0]),       # stand
+                                 (2.0, [0.2, 0, 0, 0, 0, 0]),     # fwd
+                                 (2.0, [-0.2, 0, 0, 0, 0, 0])],   # back
+                                cfg.frequency, ramp=0.5)
+        rollout(..., cmd, steps=cmd.shape[0], cfg, cmd_schedule=True)
+
+    Args:
+      segments: iterable of ``(seconds, twist6)`` pairs, each held constant
+        for ``round(seconds * frequency)`` ticks.
+      frequency: control-loop rate (cfg.frequency).
+      ramp: seconds of linear interpolation at the START of each segment
+        (from the previous segment's twist) — the finite slew of a human
+        easing the stick. 0 = hard steps. Direction of the trade on full
+        physics is NON-obvious: the reference-family trot has a measured
+        low-speed instability band (~0.05-0.15 m/s, PARITY.md
+        "Reverse-walking anatomy"), so a slow ramp DWELLS in the band and
+        can fall where a hard step jumps over it — pick per scenario (the
+        shipped whole-body transition test uses steps; SRB-surrogate
+        rollouts are insensitive).
+
+    Returns (T, 6) with T the total tick count. Broadcast against batched
+    states by the rollout itself ((T, 6) commands a whole batch uniformly;
+    for per-scenario schedules pass (T, B, 6) directly).
+    """
+    import numpy as np
+
+    rows = []
+    prev = None
+    for seconds, twist in segments:
+        n = int(round(float(seconds) * float(frequency)))
+        tw = np.asarray(twist, np.float64)
+        seg = np.broadcast_to(tw, (n, 6)).copy()
+        if ramp > 0.0 and prev is not None:
+            nr = min(int(round(float(ramp) * float(frequency))), n)
+            if nr > 0:
+                a = np.linspace(0.0, 1.0, nr + 1)[1:, None]
+                seg[:nr] = (1.0 - a) * prev + a * tw
+        rows.append(seg)
+        prev = tw
+    return jnp.asarray(np.concatenate(rows, axis=0), dtype)
 
 
 @partial(jax.jit, static_argnames=("steps", "cfg", "mpc_every",
@@ -199,12 +265,14 @@ def rollout_chunked(plant: PlantState, carry: CommanderCarry, cmd_twist,
     (b) the compiled program is the same for every chunk, so arbitrarily
     long horizons reuse one compilation. Traces are concatenated on host.
     """
+    cmd_schedule = kwargs.get("cmd_schedule", False)
     chunks = []
     done = 0
     while done < steps:
         n = min(chunk, steps - done)
+        cmd = (cmd_twist[done:done + n] if cmd_schedule else cmd_twist)
         res = jax.block_until_ready(
-            rollout(plant, carry, cmd_twist, n, cfg, **kwargs))
+            rollout(plant, carry, cmd, n, cfg, **kwargs))
         plant, carry = res.plant, res.carry
         chunks.append(res.trace)
         done += n

@@ -799,8 +799,13 @@ def _mpc_kernel(yaw_ref, r_ref, mIb_ref, mu_ref, fz_ref, xi0_ref, ref_ref,
     lax.fori_loop(0, N * NU, out_body, 0)
 
     if warm_out is not None:
-        # Next-tick warm carry: [s | z/nu] in original units (F rides the
-        # F_ref output; the schedule slice rides the tick's own carry).
+        # Next-tick warm carry: [s | z/nu | F] in original units. F here is
+        # the FINAL iterate (not the best-merit select F_ref emits for
+        # control) so the carried (F, s, z) is a consistent primal-dual
+        # point — mixing best-merit F with final-iterate s/z would seed the
+        # next tick with an inconsistent pair on exactly the lanes that
+        # struggled (advisor round-2 finding). The schedule slice rides the
+        # tick's own carry.
         inv_nu = 1.0 / nu
 
         def wout_body(i, _):
@@ -809,6 +814,15 @@ def _mpc_kernel(yaw_ref, r_ref, mIb_ref, mu_ref, fz_ref, xi0_ref, ref_ref,
             return 0
 
         lax.fori_loop(0, N * MC, wout_body, 0)
+
+        def wout_f_body(i, _):
+            t = i // NU
+            leg = (i - t * NU) // 3
+            mk = st_ref[0, t * 4 + leg]
+            warm_out[2 * N * MC + i] = Fsc[i] * sf * mk
+            return 0
+
+        lax.fori_loop(0, N * NU, wout_f_body, 0)
 
     # Flag calibration: with adaptive centering the scaled dual residual
     # lands at p50 ~1e-4 / p99 ~4.4e-4 (v5e, 40 iterations) and the measured
@@ -988,12 +1002,15 @@ def solve_mpc_qp_riccati_packed(mpc_p, warm_p=None, *, n_steps: int,
     [conv, pr, dr, gap, nu, 0] (the kernel's native order).
 
     ``warm_p = (F_p_prev, sz_p_prev, sched_p_prev)`` warm-starts the IPM
-    from the previous tick's horizon solution (F in Newtons — the previous
-    F_p output; sz = [s | z] original units; sched = the previous tick's
-    N*4 stance schedule, -1 for a cold first tick). Rows whose schedule
-    bit changed reset cold. The return becomes
-    ``(F_p, diag_p, sz_p_new)`` — thread F_p/sz/schedule into the next
-    call's warm_p.
+    from the previous tick's horizon solution (F in Newtons; sz = [s | z]
+    original units; sched = the previous tick's N*4 stance schedule, -1
+    for a cold first tick). Rows whose schedule bit changed reset cold.
+    The return becomes ``(F_p, diag_p, szf_p_new)`` where szf is the
+    packed [s | z | F] block of the FINAL iterate — a consistent
+    primal-dual triple for the next tick's warm seed (F_p itself is the
+    best-merit control output and must NOT be recycled as the warm F:
+    advisor round-2 finding). Thread ``(szf[2NMC:], szf[:2NMC], sched)``
+    into the next call's warm_p (sim/pallas_tick.py does this).
     """
     nb, kb, rows, _ = mpc_p.shape
     N = n_steps
@@ -1058,9 +1075,10 @@ def solve_mpc_qp_riccati_packed(mpc_p, warm_p=None, *, n_steps: int,
         in_specs += [vspec((1, N * NU, rows, LANE)),
                      vspec((1, 2 * N * MC, rows, LANE)),
                      vspec((1, 4 * N, rows, LANE))]
-        out_specs.append(vspec((1, 2 * N * MC, rows, LANE)))
+        out_specs.append(vspec((1, 2 * N * MC + N * NU, rows, LANE)))
         out_shape.append(
-            jax.ShapeDtypeStruct((nb, 2 * N * MC, rows, LANE), f32))
+            jax.ShapeDtypeStruct((nb, 2 * N * MC + N * NU, rows, LANE),
+                                 f32))
         inputs = (mpc_p, Fw_p.astype(f32), sz_p.astype(f32),
                   stw_p.astype(f32))
     out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))

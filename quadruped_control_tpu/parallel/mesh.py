@@ -114,7 +114,8 @@ def shard_rollout_whole_body(mesh: Mesh, cfg, model, contact=None,
     return run
 
 
-def shard_rollout_whole_body_fused(mesh: Mesh, tick, n_substeps: int = 10):
+def shard_rollout_whole_body_fused(mesh: Mesh, tick, n_substeps: int = 10,
+                                   mpc_every: int | None = None):
     """Scenario-sharded fused 3-kernel closed loop (sim/pallas_tick.py).
 
     Returns ``run(plant, carry, cmd_twist, steps)``. Each device runs the
@@ -123,17 +124,27 @@ def shard_rollout_whole_body_fused(mesh: Mesh, tick, n_substeps: int = 10):
     shards to the tile multiple to avoid padded work). Pure data
     parallelism, communication-free, like :func:`shard_rollout_whole_body`.
     ``cmd_twist`` must carry the full batch shape (it is sharded too).
+
+    ``mpc_every``: with a ``controller="mpc"`` tick, run the DECIMATED
+    driver (``rollout_whole_body_fused_decimated``: MPC re-solved every
+    ``mpc_every`` ticks, zero-order-held forces between — the
+    deployment-shape configuration) instead of the per-tick rollout.
     """
     from jax import shard_map
 
     from quadruped_control_tpu.sim.pallas_tick import (
         rollout_whole_body_fused,
+        rollout_whole_body_fused_decimated,
     )
 
     spec = P(SCENARIO_AXIS)
 
     def run(plant, carry, cmd_twist, steps: int):
         def local(p, c, cmd):
+            if mpc_every is not None:
+                return rollout_whole_body_fused_decimated(
+                    p, c, cmd, steps, tick, mpc_every=mpc_every,
+                    n_substeps=n_substeps, record=False)
             return rollout_whole_body_fused(p, c, cmd, steps, tick,
                                             n_substeps=n_substeps,
                                             record=False)

@@ -16,6 +16,7 @@ replacement for the reference's physics<->controller process pair.
 
 from quadruped_control_tpu.sim.model import (
     WholeBodyModel,
+    mit_cheetah_urdf_model,
     mit_cheetah_whole_body_model,
 )
 from quadruped_control_tpu.sim.dynamics import (
@@ -43,6 +44,7 @@ from quadruped_control_tpu.sim.rollout import (
 
 __all__ = [
     "WholeBodyModel",
+    "mit_cheetah_urdf_model",
     "mit_cheetah_whole_body_model",
     "LegKinematics",
     "precompute_leg_kinematics",

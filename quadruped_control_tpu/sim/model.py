@@ -148,3 +148,93 @@ def mit_cheetah_whole_body_model(
         armature=jnp.full((4, 3), armature, dtype),
         joint_damping=jnp.full((4, 3), joint_damping, dtype),
     )
+
+
+def mit_cheetah_urdf_model(
+    cfg: ControlConfig | None = None,
+    dtype=jnp.float32,
+    total_mass: float | None = None,
+    joint_damping: float = 0.01,
+) -> WholeBodyModel:
+    """Whole-body model with the PUBLISHED Mini Cheetah link inertials.
+
+    The synthesized default (:func:`mit_cheetah_whole_body_model`) places
+    leg COMs at mid-link with thin-rod inertias — plausible but wrong in a
+    way that matters: the real Mini Cheetah concentrates leg mass AT THE
+    HIP (co-axial actuators) with a 0.064 kg carbon-fiber lower leg, so
+    its swing-leg reaction dynamics are far tamer than mid-link rods of
+    the same total mass. This preset encodes the published values from
+    Katz, Di Carlo & Kim, "Mini Cheetah: A Platform for Pushing the Limits
+    of Dynamic Quadruped Control" (ICRA 2019) as reproduced in the open
+    mit_cheetah_description / Cheetah-Software model (the same URDF family
+    the reference's Drake sim loads, quadruped.repos:6-9,
+    drake_interface_node.cpp:184-191):
+
+      body:  m 3.3 kg, I diag (11253, 36203, 42673)e-6 kg m^2 — note this
+             EXACTLY matches the reference's SRB inertia
+             (mit_cheetah_config.yaml:94-96), corroborating the source;
+      abad:  m 0.54 kg,  com (0, +-0.036, 0),    I (381, 560, 444)e-6;
+      thigh: m 0.634 kg, com (0, +-0.016, -0.02), I (1983, 2103, 676)e-6;
+      shank: m 0.064 kg, com (0, 0, -0.061),      I (245, 248, 6)e-6;
+      rotor: I 33e-6 kg m^2 at gear ratio 6 -> reflected armature
+             33e-6 * 36 = 1.188e-3 kg m^2 per joint.
+
+    (+- mirrors left/right with the hip y sign.) Link GEOMETRY stays the
+    reference's exact kinematic constants (kinematics.cpp:23-31) — only
+    inertials change; the published link lengths differ by a few mm, and
+    behavioral parity pins geometry to the controller's model.
+
+    ``total_mass`` (default ``cfg.balance.mass`` = the reference's 11 kg):
+    the trunk absorbs the difference between the published 8.25 kg bare
+    robot and the controller's SRB mass — physically the battery /
+    electronics payload rides in the trunk, and the controller/plant
+    weight agreement is the same invariant the synthesized model keeps.
+    Pass e.g. ``total_mass=8.252`` to simulate the bare published robot
+    (the controller's 11 kg model then over-forces it — the reference
+    would have the same mismatch against a bare-robot URDF).
+
+    Per-leg mass drops 1.325 -> 0.838 kg (48% -> 30% of an 11 kg robot)
+    and, more importantly, the distal mass nearly vanishes — measured
+    closed-loop effect: the reverse trot that falls on the synthesized
+    model within ~2 s survives here (tests/test_whole_body_loop.py
+    gait-transition test; PARITY.md "Model fidelity").
+    """
+    cfg = cfg or ControlConfig()
+    kin: KinematicsConfig = cfg.kinematics
+
+    base = mit_cheetah_whole_body_model(cfg, dtype=dtype)
+    l1s = kin.l1_signed(dtype)  # (4,) signed hip-to-leg lateral offset
+    side = jnp.sign(l1s)  # +1 left legs, -1 right legs
+    zeros4 = jnp.zeros((4,), dtype)
+
+    abad_mass, thigh_mass, shank_mass = 0.54, 0.634, 0.064
+    link_mass = jnp.broadcast_to(
+        jnp.array([abad_mass, thigh_mass, shank_mass], dtype), (4, 3))
+
+    com_abad = jnp.stack([zeros4, 0.036 * side, zeros4], axis=-1)
+    com_thigh = jnp.stack(
+        [zeros4, 0.016 * side, jnp.full((4,), -0.02, dtype)], axis=-1)
+    com_shank = jnp.stack(
+        [zeros4, zeros4, jnp.full((4,), -0.061, dtype)], axis=-1)
+    link_com = jnp.stack([com_abad, com_thigh, com_shank], axis=1)
+
+    e6 = 1e-6
+    I_abad = jnp.diag(jnp.array([381., 560., 444.], dtype) * e6)
+    I_thigh = jnp.diag(jnp.array([1983., 2103., 676.], dtype) * e6)
+    I_shank = jnp.diag(jnp.array([245., 248., 6.], dtype) * e6)
+    link_inertia = jnp.broadcast_to(
+        jnp.stack([I_abad, I_thigh, I_shank], axis=0), (4, 3, 3, 3))
+
+    total = float(cfg.balance.mass) if total_mass is None else float(
+        total_mass)
+    leg_total = 4.0 * (abad_mass + thigh_mass + shank_mass)
+    trunk_mass = jnp.asarray(total - leg_total, dtype)
+
+    return base._replace(
+        link_mass=link_mass,
+        link_com=link_com,
+        link_inertia=link_inertia,
+        trunk_mass=trunk_mass,
+        armature=jnp.full((4, 3), 33e-6 * 36.0, dtype),
+        joint_damping=jnp.full((4, 3), joint_damping, dtype),
+    )

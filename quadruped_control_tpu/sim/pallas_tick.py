@@ -88,6 +88,10 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                     qp_polish_sweeps: int | None = None,
                     qp_polish_refine: int | None = None,
                     qp_polish_multi_swap: bool = False,
+                    qp_tail: bool = False, qp_tail_divisor: int = 4,
+                    qp_tail_rows: int = 8, qp_tail_sweeps: int = 24,
+                    qp_tail_prox_steps: int = 2,
+                    qp_tail_prox_iterations: int = 8,
                     contact_gate: float = 0.0,
                     raibert_cmd_symmetric: bool = False,
                     gravity_comp: bool = False,
@@ -139,6 +143,19 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
     the documented marginal-limit-cycle trot in the B=256 behavior drive
     (PARITY.md "stability anatomy") — use warm-8, and re-check behavior
     when changing the horizon or gait.
+
+    ``qp_tail=True`` appends the IN-LOOP certification tail
+    (solver/pallas_fused.solve_grf_qp_tail_packed, VERDICT round-2 #1):
+    after the per-tick QP kernel, the uncertified instances are
+    argsort-compacted into a ``B / qp_tail_divisor`` slice and re-solved
+    by a second kernel dispatch with the long warm-seeded polish
+    (``qp_tail_sweeps``) plus IN-KERNEL proximal restarts
+    (``qp_tail_prox_steps`` x ``qp_tail_prox_iterations`` — the
+    instrument for the f32 single-swap-defeating 4-stance family the
+    polish search saturates on). The improved (x, s, z) scatter back into
+    the output AND the warm carry. Recommended operating point:
+    ``qp_polish=False, qp_tail=True`` — barrier-only for everyone, the
+    expensive certified polish only where it is needed.
 
     ``qp_iterations=None`` resolves to 6 warm / 12 cold — the measured
     operating points (scripts/verify_warm_tick.py on v5e, 2026-08-20,
@@ -213,20 +230,24 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                 (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p,
                  carry_new_p, _qref_p, mpc_p) = commander_pre(
                     state_p, carry_p, cmd_p)
-                F_p, dg, sz_new_p = solve_mpc_qp_riccati_packed(
+                F_p, dg, szf_new_p = solve_mpc_qp_riccati_packed(
                     mpc_p, warm_p, **mpc_kw)
                 x_p = F_p[:, 0:12]  # step-0 GRFs (stance-masked, N)
                 state_new_p = stepper.packed(
                     state_p, x_p.astype(state_p.dtype), tausw_p, st_p, dt,
                     n_substeps)
-                # Next tick's warm carry: this tick's horizon forces +
-                # (s, z) + the schedule it was solved against (the kernel
-                # cold-resets rows whose schedule bit flips). Uniformly
-                # f32: the kernel computes f32 even on an f64 interpret
-                # path, and the scan carry structure must match.
+                # Next tick's warm carry: the kernel's [s | z | F] block of
+                # the FINAL iterate (a consistent primal-dual triple — F_p
+                # is the best-merit control output and is NOT recycled as
+                # the warm F) + the schedule it was solved against (the
+                # kernel cold-resets rows whose schedule bit flips).
+                # Uniformly f32: the kernel computes f32 even on an f64
+                # interpret path, and the scan carry structure must match.
                 sched_p = mpc_p[:, 25:25 + 4 * mpc_horizon].astype(
                     jnp.float32)
-                warm_new_p = (F_p, sz_new_p, sched_p)
+                nszh = 2 * 24 * mpc_horizon  # 2 * MC * N
+                warm_new_p = (szf_new_p[:, nszh:], szf_new_p[:, :nszh],
+                              sched_p)
                 return (state_new_p, carry_new_p, warm_new_p,
                         (st_p, mpc_diag(dg)))
         else:
@@ -272,6 +293,20 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                                      horizon=mpc_horizon, rows=rows)
         return tick
 
+    def qp_tail_stage(r_p, b_p, st_p, mu_p, fmin_p, fmax_p,
+                      x_p, s_p, z_p, diag_p):
+        from quadruped_control_tpu.solver.pallas_fused import (
+            solve_grf_qp_tail_packed,
+        )
+
+        return solve_grf_qp_tail_packed(
+            r_p, b_p, st_p, mu_p, fmin_p, fmax_p, x_p, s_p, z_p, diag_p,
+            s_diag=s_diag, w_diag=w_diag, tail_divisor=qp_tail_divisor,
+            tail_rows=qp_tail_rows, tail_sweeps=qp_tail_sweeps,
+            tail_prox_steps=qp_tail_prox_steps,
+            tail_prox_iterations=qp_tail_prox_iterations,
+            interpret=interpret)
+
     if qp_warm_start:
         def tick(state_p, carry_p, warm_p, cmd_p, dt: float,
                  n_substeps: int):
@@ -286,6 +321,10 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                 polish_refine=qp_polish_refine,
                 polish_multi_swap=qp_polish_multi_swap,
                 rows=rows, interpret=interpret)
+            if qp_tail:
+                x_p, s_p, z_p, diag_p = qp_tail_stage(
+                    r_p, b_p, st_p, mu_p, fmin_p, fmax_p,
+                    x_p, s_p, z_p, diag_p)
             state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
                                          tausw_p, st_p, dt, n_substeps)
             # The QP kernel computes f32 regardless of the plant dtype, so
@@ -296,13 +335,17 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
         def tick(state_p, carry_p, cmd_p, dt: float, n_substeps: int):
             (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
              _qref_p) = commander_pre(state_p, carry_p, cmd_p)
-            x_p, _s_p, _z_p, diag_p = solve_grf_qp_fused_packed(
+            x_p, s_p, z_p, diag_p = solve_grf_qp_fused_packed(
                 r_p, b_p, st_p, mu_p, fmin_p, fmax_p, s_diag=s_diag,
                 w_diag=w_diag, iterations=qp_iterations, polish=qp_polish,
                 polish_sweeps=qp_polish_sweeps,
                 polish_refine=qp_polish_refine,
                 polish_multi_swap=qp_polish_multi_swap,
                 rows=rows, interpret=interpret)
+            if qp_tail:
+                x_p, s_p, z_p, diag_p = qp_tail_stage(
+                    r_p, b_p, st_p, mu_p, fmin_p, fmax_p,
+                    x_p, s_p, z_p, diag_p)
             state_new_p = stepper.packed(state_p, x_p.astype(state_p.dtype),
                                          tausw_p, st_p, dt, n_substeps)
             return state_new_p, carry_new_p, (st_p, diag_p)
@@ -380,18 +423,51 @@ def unpack_whole_body_state(state_p, batch_shape) -> WholeBodyState:
     )
 
 
-@partial(jax.jit, static_argnames=("steps", "n_substeps", "tick", "record"))
+def _pack_cmd(cmd_twist, batch, B, B_pad, rows, dtype, steps=None):
+    """Broadcast + flatten + pad + pack a command twist.
+
+    With ``steps``: cmd_twist is a (steps, ..., 6) PER-TICK schedule; each
+    step is packed independently -> (steps, nb, 6, rows, LANE), the scan's
+    xs. Without: one packed (nb, 6, rows, LANE) command."""
+    if steps is not None:
+        cmd = jnp.asarray(cmd_twist, dtype)
+        assert cmd.shape[0] == steps, (cmd.shape, steps)
+        if cmd.ndim == 2:  # (steps, 6) commands the whole batch uniformly
+            cmd = cmd.reshape((steps,) + (1,) * len(batch) + (6,))
+        cmd = jnp.broadcast_to(cmd,
+                               (steps,) + batch + (6,)).reshape(steps, B, 6)
+        if B_pad != B:
+            cmd = jnp.concatenate(
+                [cmd, jnp.zeros((steps, B_pad - B, 6), dtype)], axis=1)
+        packed = pack_comps(cmd.reshape(steps * B_pad, 6), rows)
+        return packed.reshape((steps, B_pad // (rows * LANE), 6, rows,
+                               LANE))
+    cmd = jnp.broadcast_to(jnp.asarray(cmd_twist, dtype), batch + (6,))
+    cmd = cmd.reshape(B, 6)
+    if B_pad != B:
+        cmd = jnp.concatenate([cmd, jnp.zeros((B_pad - B, 6), dtype)],
+                              axis=0)
+    return pack_comps(cmd, rows)
+
+
+@partial(jax.jit, static_argnames=("steps", "n_substeps", "tick", "record",
+                                   "cmd_schedule"))
 def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
                              cmd_twist, steps: int, tick,
                              n_substeps: int = 10, record: bool = False,
-                             warm: tuple | None = None
+                             warm: tuple | None = None,
+                             cmd_schedule: bool = False
                              ) -> FusedWholeBodyResult:
     """Run ``steps`` fused control ticks (drop-in sibling of
     sim/rollout.rollout_whole_body for the balance-QP controller).
 
     Args:
       tick: built by :func:`make_fused_tick` (static; bakes cfg/model).
-      cmd_twist: (..., 6), broadcast over the batch.
+      cmd_twist: (..., 6), broadcast over the batch — or, with
+        ``cmd_schedule=True``, a (steps, ..., 6) PER-TICK command schedule
+        scanned alongside the loop (the reference's live-teleop genre:
+        cmdCallback every tick, commander_node.cpp:191-202; build with
+        control/rollout.piecewise_command).
       warm: for a ``qp_warm_start`` tick, the packed QP warm carry
         ``(x_p, s_p, z_p, st_p)`` from a previous rollout's ``.warm``
         (shapes must match this call's padded batch). None = cold first
@@ -418,21 +494,19 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
                 axis=0),
             carry_flat)
     carry_p = pack_commander_carry(carry_flat, rows, B_pad)
-    cmd = jnp.broadcast_to(jnp.asarray(cmd_twist, dtype), batch + (6,))
-    cmd = cmd.reshape(B, 6)
-    if B_pad != B:
-        cmd = jnp.concatenate([cmd, jnp.zeros((B_pad - B, 6), dtype)],
-                              axis=0)
-    cmd_p = pack_comps(cmd, rows)
+    cmd_p = _pack_cmd(cmd_twist, batch, B, B_pad, rows, dtype,
+                      steps=steps if cmd_schedule else None)
+    xs = cmd_p if cmd_schedule else None
 
     warm_start = getattr(tick, "warm_start", False)
     warm_f = None
 
     if warm_start:
-        def body(sc, _):
+        def body(sc, cmd_t):
+            cmd_s = cmd_t if cmd_schedule else cmd_p
             state_p, carry_p, warm_p = sc
             state_p, carry_p, warm_p, (st_p, diag_p) = tick(
-                state_p, carry_p, warm_p, cmd_p, dt, n_substeps)
+                state_p, carry_p, warm_p, cmd_s, dt, n_substeps)
             out = None
             if record:
                 out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
@@ -444,18 +518,19 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
         warm_p0 = (warm if warm is not None
                    else init_warm(state_p.shape[0]))
         (state_p, carry_p, warm_f), rec = lax.scan(
-            body, (state_p, carry_p, warm_p0), None, length=steps)
+            body, (state_p, carry_p, warm_p0), xs, length=steps)
     else:
-        def body(sc, _):
+        def body(sc, cmd_t):
+            cmd_s = cmd_t if cmd_schedule else cmd_p
             state_p, carry_p = sc
-            state_p, carry_p, (st_p, diag_p) = tick(state_p, carry_p, cmd_p,
+            state_p, carry_p, (st_p, diag_p) = tick(state_p, carry_p, cmd_s,
                                                     dt, n_substeps)
             out = None
             if record:
                 out = (state_p[:, 9:12], carry_p[:, 0], st_p, diag_p[:, 1])
             return (state_p, carry_p), out
 
-        (state_p, carry_p), rec = lax.scan(body, (state_p, carry_p), None,
+        (state_p, carry_p), rec = lax.scan(body, (state_p, carry_p), xs,
                                            length=steps)
 
     trace = None
@@ -488,13 +563,14 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
 
 
 @partial(jax.jit, static_argnames=("steps", "mpc_every", "n_substeps",
-                                   "tick", "record"))
+                                   "tick", "record", "cmd_schedule"))
 def rollout_whole_body_fused_decimated(plant: WholeBodyState,
                                        carry: CommanderCarry, cmd_twist,
                                        steps: int, tick,
                                        mpc_every: int = 4,
                                        n_substeps: int = 10,
-                                       record: bool = False
+                                       record: bool = False,
+                                       cmd_schedule: bool = False
                                        ) -> FusedWholeBodyResult:
     """Fused MPC closed loop with the MPC re-solved every ``mpc_every``
     ticks (sim twin of control/rollout.rollout_mpc_decimated): the outer
@@ -503,7 +579,10 @@ def rollout_whole_body_fused_decimated(plant: WholeBodyState,
     the Riccati kernel cost drops by ~mpc_every. ``steps`` must be a
     multiple of ``mpc_every``. Trace entries are per GROUP (one per MPC
     solve, post-group state), like the XLA driver. Requires a
-    ``controller="mpc"`` tick (uses ``tick.held``)."""
+    ``controller="mpc"`` tick (uses ``tick.held``).
+
+    ``cmd_schedule=True``: (steps, ..., 6) per-tick commands; the solve
+    tick consumes the group's first command, the held ticks the rest."""
     assert steps % mpc_every == 0, (steps, mpc_every)
     assert hasattr(tick, "held"), "needs a controller='mpc' fused tick"
     rows = tick.rows
@@ -527,12 +606,16 @@ def rollout_whole_body_fused_decimated(plant: WholeBodyState,
                 axis=0),
             carry_flat)
     carry_p = pack_commander_carry(carry_flat, rows, B_pad)
-    cmd = jnp.broadcast_to(jnp.asarray(cmd_twist, dtype), batch + (6,))
-    cmd = cmd.reshape(B, 6)
-    if B_pad != B:
-        cmd = jnp.concatenate([cmd, jnp.zeros((B_pad - B, 6), dtype)],
-                              axis=0)
-    cmd_p = pack_comps(cmd, rows)
+    if cmd_schedule:
+        cmd_steps = _pack_cmd(cmd_twist, batch, B, B_pad, rows, dtype,
+                              steps=steps)
+        # (steps, nb, ...) -> (groups, mpc_every, nb, ...): the outer scan
+        # consumes one group-slice per iteration.
+        xs = cmd_steps.reshape((steps // mpc_every, mpc_every)
+                               + cmd_steps.shape[1:])
+    else:
+        cmd_p = _pack_cmd(cmd_twist, batch, B, B_pad, rows, dtype)
+        xs = None
 
     # A warm MPC tick threads its horizon carry across SOLVE GROUPS (the
     # hold ticks skip the Riccati kernel, so the carry ages mpc_every
@@ -540,18 +623,20 @@ def rollout_whole_body_fused_decimated(plant: WholeBodyState,
     # cold in-kernel, which covers the larger per-group churn).
     warm_start = getattr(tick, "warm_start", False)
 
-    def group_body(sc, _):
+    def group_body(sc, cmd_g):
+        cmd_solve = cmd_g[0] if cmd_schedule else cmd_p
         if warm_start:
             state_p, carry_p, warm_p = sc
         else:
             state_p, carry_p = sc
         (r_p, b_p, st_p, mu_p, fmin_p, fmax_p, tausw_p, carry_new_p,
-         _qref_p, mpc_p) = tick.pre(state_p, carry_p, cmd_p)
+         _qref_p, mpc_p) = tick.pre(state_p, carry_p, cmd_solve)
         if warm_start:
-            F_p, dg, sz_new_p = tick.solve(mpc_p, warm_p)
+            F_p, dg, szf_new_p = tick.solve(mpc_p, warm_p)
             sched_p = mpc_p[:, 25:25 + 4 * tick.mpc_horizon].astype(
                 jnp.float32)
-            warm_p = (F_p, sz_new_p, sched_p)
+            nszh = 2 * 24 * tick.mpc_horizon  # 2 * MC * N
+            warm_p = (szf_new_p[:, nszh:], szf_new_p[:, :nszh], sched_p)
         else:
             F_p, dg = tick.solve(mpc_p)
         x_hold = F_p[:, 0:12]
@@ -560,14 +645,16 @@ def rollout_whole_body_fused_decimated(plant: WholeBodyState,
                                       tausw_p, st_p, dt, n_substeps)
         carry_p = carry_new_p
 
-        def held_body(inner, _):
+        def held_body(inner, cmd_t):
+            cmd_h = cmd_t if cmd_schedule else cmd_p
             state_p, carry_p = inner
             state_p, carry_p, _st = tick.held(state_p, carry_p, x_hold,
-                                              cmd_p, dt, n_substeps)
+                                              cmd_h, dt, n_substeps)
             return (state_p, carry_p), None
 
         (state_p, carry_p), _ = lax.scan(
-            held_body, (state_p, carry_p), None, length=mpc_every - 1)
+            held_body, (state_p, carry_p),
+            cmd_g[1:] if cmd_schedule else None, length=mpc_every - 1)
         out = None
         if record:
             diag_p = jnp.concatenate(
@@ -580,7 +667,7 @@ def rollout_whole_body_fused_decimated(plant: WholeBodyState,
 
     sc0 = ((state_p, carry_p, tick.init_warm(state_p.shape[0]))
            if warm_start else (state_p, carry_p))
-    sc_f, rec = lax.scan(group_body, sc0, None,
+    sc_f, rec = lax.scan(group_body, sc0, xs,
                          length=steps // mpc_every)
     if warm_start:
         state_p, carry_p, _warm_f = sc_f
@@ -619,7 +706,8 @@ def rollout_whole_body_fused_chunked(plant: WholeBodyState,
                                      steps: int, tick, chunk: int = 50,
                                      n_substeps: int = 10,
                                      record: bool = False,
-                                     warm: tuple | None = None
+                                     warm: tuple | None = None,
+                                     cmd_schedule: bool = False
                                      ) -> FusedWholeBodyResult:
     """``rollout_whole_body_fused`` split into host-side chunks.
 
@@ -639,9 +727,10 @@ def rollout_whole_body_fused_chunked(plant: WholeBodyState,
     res = None
     while done < steps:
         n = min(chunk, steps - done)
+        cmd = cmd_twist[done:done + n] if cmd_schedule else cmd_twist
         res = jax.block_until_ready(rollout_whole_body_fused(
-            plant, carry, cmd_twist, n, tick, n_substeps=n_substeps,
-            record=record, warm=warm))
+            plant, carry, cmd, n, tick, n_substeps=n_substeps,
+            record=record, warm=warm, cmd_schedule=cmd_schedule))
         plant, carry, warm = res.plant, res.carry, res.warm
         if record:
             traces.append(res.trace)

@@ -52,7 +52,9 @@ class WholeBodyRolloutResult(NamedTuple):
                                    "mpc_iterations", "mpc_backend",
                                    "weight_shift", "m_update",
                                    "contact_gate", "raibert_cmd_symmetric",
-                                   "gravity_comp", "stepper"))
+                                   "heading_hold",
+                                   "gravity_comp", "stepper",
+                                   "cmd_schedule"))
 def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        cmd_twist, steps: int, cfg: ControlConfig,
                        model: WholeBodyModel,
@@ -64,12 +66,15 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        mpc_horizon: int = 8, mpc_dt: float = 0.05,
                        mpc_iterations: int = 25,
                        mpc_backend: str = "structured",
+                       mpc_state_weights=None,
                        weight_shift: float = 0.0,
                        m_update: str = "tick",
                        contact_gate: float = 0.0,
                        raibert_cmd_symmetric: bool = False,
+                       heading_hold: bool = False,
                        gravity_comp: bool = False,
-                       stepper=None
+                       stepper=None,
+                       cmd_schedule: bool = False
                        ) -> WholeBodyRolloutResult:
     """Run ``steps`` control ticks of the full-physics closed loop.
 
@@ -81,24 +86,38 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
     Pallas replacement for the op-latency-bound XLA substep loop. It bakes
     the model/contact constants in, so it must match ``model``/``contact``;
     requires an explicit ``n_substeps`` and implies ``m_update="tick"``.
+
+    ``cmd_schedule=True``: ``cmd_twist`` is a (steps, ..., 6) PER-TICK
+    command scanned alongside the loop — the reference's live-teleop genre
+    (cmdCallback every tick, commander_node.cpp:191-202; the fwd-AND-back
+    gait-transition demo, README.md:57). Build with
+    control/rollout.piecewise_command.
     """
     dt = 1.0 / cfg.frequency
     if stepper is not None and n_substeps is None:
         raise ValueError("stepper= requires explicit n_substeps")
+    xs = None
+    if cmd_schedule:
+        assert cmd_twist.shape[0] == steps, (cmd_twist.shape, steps)
+        xs = cmd_twist
 
-    def body(state, _):
+    def body(state, cmd_t):
+        cmd = cmd_t if cmd_schedule else cmd_twist
         wb, cc = state
         com, joints = whole_body_com_state(wb, cfg)
         g_tau = None
         if gravity_comp:
             g_tau = leg_gravity_torques(model, joints.q, com.R)
         out, cc = commander_step(
-            com, joints, cc, cmd_twist, dt, cfg,
+            com, joints, cc, cmd, dt, cfg,
             qp_iterations=qp_iterations, qp_polish=qp_polish,
-            qp_backend=qp_backend, controller=controller, mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
+            qp_backend=qp_backend, controller=controller,
+            mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
             mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
+            mpc_state_weights=mpc_state_weights,
             weight_shift=weight_shift, contact_gate=contact_gate,
             raibert_cmd_symmetric=raibert_cmd_symmetric,
+            heading_hold=heading_hold,
             gravity_comp_tau=g_tau,
         )
         if stepper is not None:
@@ -127,7 +146,7 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
             )
         return (wb, cc), trace
 
-    (wb, cc), trace = lax.scan(body, (plant, carry), None, length=steps)
+    (wb, cc), trace = lax.scan(body, (plant, carry), xs, length=steps)
     return WholeBodyRolloutResult(plant=wb, carry=cc, trace=trace)
 
 

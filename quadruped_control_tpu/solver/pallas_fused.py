@@ -640,15 +640,17 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int,
         cert = jnp.maximum(cert, ok.astype(jnp.float32))
 
         if multi_swap:
-            # Swap EVERY violated/negative row at once. Single swaps
-            # (below — qpOASES's reliability-first rule) move the set one
-            # row per sweep; the degenerate 4-stance trot family's optimal
-            # set churns by several rows across a stance transition, which
-            # a 1-2 sweep budget cannot follow (warm-seeded single-swap
-            # certifies 63-68% of the harvested hard set; the oracle set
-            # certifies 100% at one sweep — scripts/tail_warm_polish_probe).
-            # Simultaneous swaps may cycle in theory; the compensated
-            # certification + best-iterate keep wrong sets harmless.
+            # EXPERIMENTAL / measured negative result — kept as a probe,
+            # default off. Swap EVERY violated/negative row at once instead
+            # of one per sweep. On the degenerate 4-stance trot family this
+            # is a measured NO-OP on warm seeds: the missing rows are
+            # revealed one per EQP solve (each add exposes the next
+            # violation — scripts/tail_polish_replica.py), so simultaneous
+            # swaps cannot shortcut the search; SWEEPS are the lever
+            # (63/84/95% of the hard set at 1/4/24 sweeps, ROADMAP "tail
+            # anatomy"). Simultaneous swaps may also cycle in theory; the
+            # compensated certification + best-iterate keep wrong sets
+            # harmless.
             a_new = []
             for r in range(M):
                 add_r = (-slack[r] > feas_tol) & ~(a[r] > 0.5)
@@ -693,7 +695,9 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                   x_ref, s_ref, z_ref, diag_ref, Ksc, Dsc, usc,
                   *, s_diag, w_diag, swing_relax, iterations, tau, tol,
                   polish, polish_sweeps, polish_refine,
-                  polish_multi_swap=False, warm_refs=None):
+                  polish_multi_swap=False, warm_refs=None,
+                  prox_steps: int = 0, prox_iterations: int = 10,
+                  prox_rho: float = 1e-2, prox_sweeps: int | None = None):
     """Kernel body. Modes: full (barrier + polish), barrier-only
     (polish=False), polish-only (3-tuple warm_refs + iterations == 0 — the
     barrier is skipped and the warm (x, s, z) in ORIGINAL units seed the
@@ -704,7 +708,18 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
     for control streams: the previous tick's solution seeds the barrier
     after a Mehrotra interior shift, and the 6 cone rows of any leg whose
     stance flag changed since st_prev are reset to the cold start, exactly
-    solver/ipm.py solve_qp_ipm's warm_start + warm_reset_mask semantics)."""
+    solver/ipm.py solve_qp_ipm's warm_start + warm_reset_mask semantics).
+
+    ``prox_steps > 0`` (requires polish): IN-KERNEL proximal restarts for
+    the degenerate 4-stance family whose active set defeats the
+    single-swap search (ROADMAP "tail anatomy"). Each step re-solves the
+    regularized problem min ½xᵀ(Q+ρI)x + (c−ρx_k)ᵀx warm-started from the
+    current iterate (ρ = prox_rho in equilibrated units, where diag(Q) is
+    exactly nu) — the re-centering perturbs the barrier trajectory enough
+    to reveal a different active set — then re-polishes against the
+    ORIGINAL KKT. Certified lanes freeze; prox iterates keep advancing.
+    The in-kernel twin of solver/ipm.solve_qp_prox (the bench's XLA prox
+    tail, which is ~10-30x too slow for the 1 ms in-loop tick budget)."""
     r = [[r_ref[3 * l + k] for k in range(3)] for l in range(4)]
     b = [b_ref[i] for i in range(6)]
     st = [st_ref[l] for l in range(4)]
@@ -771,6 +786,45 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
         x, s, z, cert = _polish(Qs, cs, Gsr, hs, x, s, z, Ksc, Dsc, usc,
                                 sweeps=polish_sweeps, refine=polish_refine,
                                 a0=a0, multi_swap=polish_multi_swap)
+        if prox_steps > 0:
+            # In-kernel proximal restarts (see the mode docstring). The
+            # prox ITERATE (xk, sk, zk) keeps advancing every step; the
+            # OUTPUT (x, s, z, cert) only absorbs a step's polished result
+            # on lanes it newly certifies — already-certified lanes stay
+            # frozen. Equilibrated diag(Qs) == nu exactly (the Dv scaling
+            # normalizes the diagonal to 1 before the nu rescale), so
+            # rho = prox_rho * nu is a relative regularization.
+            interior_p = jnp.float32(1e-2)
+            rho = jnp.float32(prox_rho) * nu
+            psw = polish_sweeps if prox_sweeps is None else prox_sweeps
+            xk, sk, zk = x, s, z
+            for _ in range(prox_steps):
+                Qp = [[None] * N for _ in range(N)]
+                for i in range(N):
+                    for j in range(i, N):
+                        Qp[i][j] = (Qs[i][j] + rho if i == j
+                                    else Qs[i][j])
+                ck = [cs[i] - rho * xk[i] for i in range(N)]
+                s0p = [jnp.maximum(sk[rr], interior_p) for rr in range(M)]
+                z0p = [jnp.maximum(zk[rr], interior_p / s0p[rr])
+                       for rr in range(M)]
+                xb, sb, zb = _barrier(Qp, ck, Gsr, hs,
+                                      iterations=prox_iterations, tau=tau,
+                                      init=(xk, s0p, z0p))
+                # Re-polish against the ORIGINAL problem from the prox
+                # point — certification is against the original KKT.
+                a0p = [jnp.where(zb[rr] > sb[rr], jnp.float32(1.0),
+                                 jnp.float32(0.0)) for rr in range(M)]
+                xp2, sp2, zp2, cert2 = _polish(
+                    Qs, cs, Gsr, hs, xb, sb, zb, Ksc, Dsc, usc,
+                    sweeps=psw, refine=polish_refine, a0=a0p,
+                    multi_swap=polish_multi_swap)
+                newly = (cert2 > 0.5) & ~(cert > 0.5)
+                x = [jnp.where(newly, xp2[i], x[i]) for i in range(N)]
+                s = [jnp.where(newly, sp2[rr], s[rr]) for rr in range(M)]
+                z = [jnp.where(newly, zp2[rr], z[rr]) for rr in range(M)]
+                cert = jnp.maximum(cert, cert2)
+                xk, sk, zk = xb, sb, zb
     else:
         cert = jnp.zeros_like(x[0])
 
@@ -910,7 +964,8 @@ def _prep_inputs(r_masked, b, stance, mu, fz_min, fz_max, rows=SUB):
 @partial(jax.jit, static_argnames=(
     "s_diag", "w_diag", "swing_relax", "iterations", "polish",
     "polish_sweeps", "polish_refine", "polish_multi_swap", "tol", "tau",
-    "rows", "interpret"))
+    "rows", "prox_steps", "prox_iterations", "prox_rho", "prox_sweeps",
+    "interpret"))
 def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
                        s_diag, w_diag, swing_relax=SWING_ROW_RELAX,
                        iterations: int = 20, polish: bool = True,
@@ -919,6 +974,9 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
                        polish_multi_swap: bool = False,
                        tol: float = 3e-5, tau: float = 0.995,
                        rows: int = SUB, warm=None, warm_stance_prev=None,
+                       prox_steps: int = 0, prox_iterations: int = 10,
+                       prox_rho: float = 1e-2,
+                       prox_sweeps: int | None = None,
                        interpret: bool = False) -> IPMSolution:
     """Fused assembly + solve of the batched GRF QP from raw SRB state.
 
@@ -965,7 +1023,9 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
         *inputs, s_diag=s_diag, w_diag=w_diag, swing_relax=swing_relax,
         iterations=iterations, polish=polish, polish_sweeps=polish_sweeps,
         polish_refine=polish_refine, polish_multi_swap=polish_multi_swap,
-        tol=tol, tau=tau, rows=rows, interpret=interpret)
+        tol=tol, tau=tau, rows=rows, prox_steps=prox_steps,
+        prox_iterations=prox_iterations, prox_rho=prox_rho,
+        prox_sweeps=prox_sweeps, interpret=interpret)
 
     x = _unpack_rows(xo)
     s = _unpack_rows(so)
@@ -985,7 +1045,11 @@ def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
                               polish_refine: int = _POLISH_REFINE,
                               polish_multi_swap: bool = False,
                               tol: float = 3e-5, tau: float = 0.995,
-                              rows: int = SUB, interpret: bool = False):
+                              rows: int = SUB, prox_steps: int = 0,
+                              prox_iterations: int = 10,
+                              prox_rho: float = 1e-2,
+                              prox_sweeps: int | None = None,
+                              interpret: bool = False):
     """The fused GRF-QP kernel on PRE-PACKED (nb, k, rows, 128) tiles.
 
     The zero-copy entry for producers that already live in the packed lane
@@ -1035,6 +1099,8 @@ def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
         swing_relax=float(swing_relax), iterations=iterations, tau=tau,
         tol=tol, polish=polish, polish_sweeps=polish_sweeps,
         polish_refine=polish_refine, polish_multi_swap=polish_multi_swap,
+        prox_steps=prox_steps, prox_iterations=prox_iterations,
+        prox_rho=prox_rho, prox_sweeps=prox_sweeps,
         has_warm=has_warm, has_st_prev=has_st_prev)
 
     return pl.pallas_call(
@@ -1461,3 +1527,85 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
         dual_residual=unflat(sol.dual_residual, ()),
         converged=unflat(sol.converged, ()),
     )
+
+
+def solve_grf_qp_tail_packed(rp, bp, stp, mup, fminp, fmaxp,
+                             xp, sp, zp, diagp, *, s_diag, w_diag,
+                             swing_relax=SWING_ROW_RELAX,
+                             tail_divisor: int = 4, tail_rows: int = 8,
+                             tail_sweeps: int = 24,
+                             tail_refine: int = _POLISH_REFINE,
+                             tail_prox_steps: int = 2,
+                             tail_prox_iterations: int = 8,
+                             tail_prox_rho: float = 1e-2,
+                             tol: float = 3e-5, tau: float = 0.995,
+                             interpret: bool = False):
+    """Certification tail for the IN-LOOP fused tick (VERDICT round-2 #1).
+
+    Takes the packed inputs + phase-1 solution of
+    :func:`solve_grf_qp_fused_packed` (typically a warm barrier-only tick
+    solve), compacts the UNCERTIFIED instances to a ``B / tail_divisor``
+    slice by an argsort on the converged flag (the two-phase bench trick,
+    solve_grf_qp_fused_two_phase), and re-solves only that slice with the
+    long warm-seeded polish + IN-KERNEL proximal restarts (prox_steps /
+    prox_iterations — the instrument for the f32 single-swap-defeating
+    4-stance family, ROADMAP "tail anatomy"; the bench's XLA prox tail is
+    ~10-30x too slow for a 1 ms tick budget). Improved instances scatter
+    back into (x, s, z, diag), so the scan's warm carry ALSO inherits the
+    certified triple.
+
+    All arrays stay packed (nb, k, rows, 128); the only XLA glue is the
+    transpose-gather-scatter of ~90 f32 values per instance. Requires
+    ``B % (tail_rows * 128) == 0`` (any main-kernel rows >= tail_rows
+    satisfies this). Returns updated packed (x, s, z, diag).
+    """
+    rows_main = rp.shape[2]
+    B = rp.shape[0] * rows_main * LANE
+    tile2 = tail_rows * LANE
+    assert B % tile2 == 0, (B, tail_rows)
+    Bt = max(B // tail_divisor, tile2)
+    Bt = min(((Bt + tile2 - 1) // tile2) * tile2, B)
+
+    r_f = _unpack_rows(rp)          # (B, 12)
+    b_f = _unpack_rows(bp)          # (B, 6)
+    st_f = _unpack_rows(stp)        # (B, 4)
+    mu_f = _unpack_rows(mup)[:, 0]
+    fmin_f = _unpack_rows(fminp)[:, 0]
+    fmax_f = _unpack_rows(fmaxp)[:, 0]
+    x_f = _unpack_rows(xp)
+    s_f = _unpack_rows(sp)
+    z_f = _unpack_rows(zp)
+    d_f = _unpack_rows(diagp)       # (B, 6) [cert, conv, pr, dr, gap, 0]
+    conv = d_f[:, 1] > 0.5
+
+    order = jnp.argsort(conv.astype(jnp.int32), stable=True)
+    idx = order[:Bt]
+
+    sol2 = solve_grf_qp_fused(
+        r_f[idx].reshape(Bt, 4, 3), b_f[idx], st_f[idx], mu_f[idx],
+        fmin_f[idx], fmax_f[idx], s_diag=s_diag, w_diag=w_diag,
+        swing_relax=swing_relax, iterations=0, polish=True,
+        polish_sweeps=tail_sweeps, polish_refine=tail_refine,
+        tol=tol, tau=tau, rows=tail_rows,
+        warm=(x_f[idx], s_f[idx], z_f[idx]),
+        prox_steps=tail_prox_steps, prox_iterations=tail_prox_iterations,
+        prox_rho=tail_prox_rho, interpret=interpret)
+
+    better = sol2.converged & ~conv[idx]
+
+    def merge(a1, a2):
+        upd = better.reshape(better.shape + (1,) * (a2.ndim - 1))
+        return a1.at[idx].set(jnp.where(upd, a2, a1[idx]))
+
+    x_f = merge(x_f, sol2.x)
+    s_f = merge(s_f, sol2.s)
+    z_f = merge(z_f, sol2.z)
+    d_new = jnp.stack([
+        jnp.ones_like(sol2.gap), jnp.ones_like(sol2.gap),
+        sol2.primal_residual, sol2.dual_residual, sol2.gap,
+        jnp.zeros_like(sol2.gap)], axis=-1)
+    d_f = merge(d_f, d_new)
+
+    return (_pack_rows(x_f, N, rows_main), _pack_rows(s_f, M, rows_main),
+            _pack_rows(z_f, M, rows_main),
+            _pack_rows(d_f, _N_DIAG, rows_main))

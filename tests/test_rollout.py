@@ -103,6 +103,68 @@ def test_rollout_chunked_matches_single_scan():
                                   np.asarray(b.plant.joints.q))
 
 
+def test_cmd_schedule_constant_matches_plain():
+    """A cmd_schedule that repeats one constant twist is BITWISE the plain
+    constant-cmd rollout — scheduling only changes where the command comes
+    from, not the tick math."""
+    from quadruped_control_tpu.config import mit_cheetah_physical_config
+    from quadruped_control_tpu.control.commander import init_commander_carry
+    from quadruped_control_tpu.control.plant import init_plant_state
+    from quadruped_control_tpu.control.rollout import rollout
+
+    cfg = mit_cheetah_physical_config()
+    plant = init_plant_state(cfg, (), dtype=jnp.float64)
+    carry = init_commander_carry((), dtype=jnp.float64)
+    cmd = jnp.zeros((6,), jnp.float64).at[0].set(0.2)
+    steps = 30
+    sched = jnp.broadcast_to(cmd, (steps, 6))
+    a = rollout(plant, carry, cmd, steps, cfg)
+    b = rollout(plant, carry, sched, steps, cfg, cmd_schedule=True)
+    np.testing.assert_array_equal(np.asarray(a.trace.x),
+                                  np.asarray(b.trace.x))
+    np.testing.assert_array_equal(np.asarray(a.plant.joints.q),
+                                  np.asarray(b.plant.joints.q))
+
+
+def test_gait_transition_fwd_and_back():
+    """The reference's headline teleop demo — walk forward AND backward in
+    one session (README.md:57, cmd updated live via cmdCallback,
+    commander_node.cpp:191-202) — as a single scheduled rollout: stand,
+    trot to +0.2 m/s, decelerate, reverse to -0.2 m/s. The transition must
+    survive closed loop: net forward progress in the forward phase, net
+    backward progress in the reverse phase, height held throughout."""
+    from quadruped_control_tpu.config import mit_cheetah_physical_config
+    from quadruped_control_tpu.control.commander import init_commander_carry
+    from quadruped_control_tpu.control.plant import init_plant_state
+    from quadruped_control_tpu.control.rollout import (
+        piecewise_command,
+        rollout,
+    )
+
+    cfg = mit_cheetah_physical_config()
+    plant = init_plant_state(cfg, (), dtype=jnp.float64)
+    carry = init_commander_carry((), dtype=jnp.float64)
+    sched = piecewise_command(
+        [(1.5, [0, 0, 0, 0, 0, 0]),        # stand up
+         (2.0, [0.2, 0, 0, 0, 0, 0]),      # trot forward (demo speed)
+         (0.5, [0, 0, 0, 0, 0, 0]),        # decelerate
+         (2.0, [-0.2, 0, 0, 0, 0, 0])],    # reverse
+        cfg.frequency, dtype=jnp.float64)
+    steps = sched.shape[0]
+    res = rollout(plant, carry, sched, steps, cfg, cmd_schedule=True)
+    x = np.asarray(res.trace.x)
+    assert np.all(np.isfinite(x))
+    f = int(1.5 * cfg.frequency)
+    d = int(3.5 * cfg.frequency)
+    r = int(4.0 * cfg.frequency)
+    fwd = x[d - 1, 0] - x[f, 0]
+    back = x[-1, 0] - x[r, 0]
+    assert fwd > 0.2, fwd     # meaningful forward progress at 0.2 m/s
+    assert back < -0.2, back  # and meaningful backward progress after
+    # Height held through BOTH transitions (the demo's upright criterion).
+    assert np.all(np.abs(x[f:, 2] - 0.26) < 0.05)
+
+
 def test_plant_saturates_unphysical_forces():
     """A garbage QP output (huge pulls/pushes) must not NaN the plant: the
     surrogate enforces the contact cone (fz >= 0, |ft| <= mu fz) like

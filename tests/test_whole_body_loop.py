@@ -101,6 +101,53 @@ def test_whole_body_mpc_trot_robust_point():
     assert abs(rpy[0]) < 0.3
 
 
+def test_whole_body_gait_transition_scheduled():
+    """The reference's live-teleop genre on FULL physics: ONE scheduled
+    rollout (cmd changing per tick, commander_node.cpp:191-202) that
+    stands, steps into the 0.2 m/s trot, then decelerates back to a
+    stand — speed-up AND slow-down transitions surviving closed loop.
+
+    Runs on the SYNTHESIZED model (the round-2 robustness-swept
+    substrate): command transitions cross the measured low-speed
+    instability band (~0.05-0.15 m/s, PARITY.md "Reverse-walking
+    anatomy"), which the synthesized model's heavier legs damp — the
+    URDF-true model is steadier in steady state but falls at this 0->0.2
+    step. The full fwd-AND-REVERSE demo (README.md:57) runs on the SRB
+    surrogate (tests/test_rollout.py::test_gait_transition_fwd_and_back);
+    pilot-less full-physics REVERSE is measurably unstable in
+    heading/roll — the reference's own backward demo is human-piloted."""
+    from quadruped_control_tpu.config import mit_cheetah_whole_body_config
+    from quadruped_control_tpu.control.rollout import piecewise_command
+
+    cfg = mit_cheetah_whole_body_config()
+    model = mit_cheetah_whole_body_model(cfg, dtype=DT)
+    kw = dict(controller="mpc", mpc_backend="structured", mpc_horizon=8,
+              mpc_dt=0.03, mpc_iterations=15, gravity_comp=True,
+              n_substeps=N_SUB)
+    plant, carry = init_whole_body_rollout(cfg, dtype=DT)
+    f = cfg.frequency
+    sched = piecewise_command(
+        [(6.0, [0, 0, 0, 0, 0, 0]),       # stand up + in-place gait
+         (5.0, [0.2, 0, 0, 0, 0, 0]),     # trot forward (demo speed)
+         (3.0, [0, 0, 0, 0, 0, 0])],      # decelerate to a stand
+        f, dtype=DT)
+    res = rollout_whole_body(plant, carry, sched, sched.shape[0], cfg,
+                             model, CONTACT, cmd_schedule=True, **kw)
+    x = np.asarray(res.trace.x)
+    assert np.isfinite(x).all()
+    i_fwd, i_dec = int(6 * f), int(11 * f)
+    fwd = x[i_dec - 1, 0] - x[i_fwd, 0]
+    assert fwd > 0.3, fwd
+    # After the stop the robot keeps standing nearby (bounded drift).
+    drift = abs(x[-1, 0] - x[int(11.5 * f), 0])
+    assert drift < 0.4, drift
+    # Height held through BOTH transitions (step transients allowed).
+    z = x[i_fwd:, 2]
+    assert abs(z - cfg.stand.height).max() < 0.08, (z.min(), z.max())
+    rpy = np.asarray(matrix_to_rpy(res.plant.R))
+    assert abs(rpy[0]) < 0.3 and abs(rpy[1]) < 0.3, rpy
+
+
 def test_whole_body_batched_scenarios():
     """Batched closed loop: scenarios evolve independently (one falling
     robot cannot poison the batch — same guarantee as the surrogate)."""
