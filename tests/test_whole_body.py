@@ -341,3 +341,25 @@ def test_armature_and_damping_effects(rng):
     expected = np.zeros((18, 18))
     expected[6:, 6:] = np.diag(np.asarray(MODEL.armature).reshape(12))
     np.testing.assert_allclose(diff, expected, atol=1e-12)
+
+
+def test_lagrangian_oracle_script():
+    """The independent sympy Euler-Lagrange derivation
+    (scripts/derive_dynamics.py) agrees with the engine's RNEA/CRBA at
+    machine precision — the external-authority role Drake plays for the
+    reference (drake_interface_node.cpp:96-391), kept runnable and pinned.
+    ~2.5 min (symbolic build dominates)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    res = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "derive_dynamics.py")],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ,
+             "PYTHONPATH": f"{repo}:" + __import__("os").environ.get(
+                 "PYTHONPATH", "")},
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "PASS: Lagrangian == RNEA/CRBA" in res.stdout, res.stdout
