@@ -74,6 +74,11 @@ class CommanderOutput(NamedTuple):
     foot_refs_world: jnp.ndarray  # (..., 4, 3) swing foot reference positions
     swing_q_ref: jnp.ndarray  # (..., 4, 3)
     qp_converged: jnp.ndarray  # (...,)
+    # Full horizon forces (..., N, 12) when controller="mpc", else None —
+    # lets decimated drivers hold F_k instead of zero-order-holding F_0
+    # when the hold window outruns one horizon step (rollout_mpc_decimated
+    # hold_mode="horizon").
+    forces_horizon: "jnp.ndarray | None" = None
 
 
 def init_commander_carry(batch_shape=(), dtype=jnp.float32) -> CommanderCarry:
@@ -453,6 +458,7 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
 
     # 9. Stance-force controller: single-step balance QP (the reference's
     #    hot path, commander_node.cpp:507-508) or receding-horizon MPC.
+    forces_horizon = None
     if forces_override is not None:
         sol = IPMSolution(
             x=jnp.broadcast_to(forces_override,
@@ -496,6 +502,7 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
             s=jnp.broadcast_to(carry.qp_s, carry.qp_s.shape),
             z=jnp.broadcast_to(carry.qp_z, carry.qp_z.shape),
         )
+        forces_horizon = F
     elif qp_backend == "fused":
         from quadruped_control_tpu.solver.pallas_fused import (
             solve_balance_qp_fused,
@@ -562,5 +569,6 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         foot_refs_world=foot_ref.position,
         swing_q_ref=q_ref,
         qp_converged=sol.converged,
+        forces_horizon=forces_horizon,
     )
     return out, new_carry

@@ -288,6 +288,7 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
         tick.rows = rows
         tick.warm_start = mpc_warm_start
         tick.mpc_horizon = mpc_horizon
+        tick.mpc_dt = mpc_dt
         if mpc_warm_start:
             tick.init_warm = partial(init_mpc_warm_packed,
                                      horizon=mpc_horizon, rows=rows)
@@ -563,30 +564,51 @@ def rollout_whole_body_fused(plant: WholeBodyState, carry: CommanderCarry,
 
 
 @partial(jax.jit, static_argnames=("steps", "mpc_every", "n_substeps",
-                                   "tick", "record", "cmd_schedule"))
+                                   "tick", "record", "cmd_schedule",
+                                   "hold_mode"))
 def rollout_whole_body_fused_decimated(plant: WholeBodyState,
                                        carry: CommanderCarry, cmd_twist,
                                        steps: int, tick,
                                        mpc_every: int = 4,
                                        n_substeps: int = 10,
                                        record: bool = False,
-                                       cmd_schedule: bool = False
+                                       cmd_schedule: bool = False,
+                                       hold_mode: str = "zoh"
                                        ) -> FusedWholeBodyResult:
     """Fused MPC closed loop with the MPC re-solved every ``mpc_every``
     ticks (sim twin of control/rollout.rollout_mpc_decimated): the outer
     scan body runs one full MPC tick, then ``mpc_every - 1`` held ticks
-    (commander-pre + substeps with the zero-order-held step-0 forces) —
-    the Riccati kernel cost drops by ~mpc_every. ``steps`` must be a
-    multiple of ``mpc_every``. Trace entries are per GROUP (one per MPC
-    solve, post-group state), like the XLA driver. Requires a
+    (commander-pre + substeps with held horizon forces) — the Riccati
+    kernel cost drops by ~mpc_every. ``steps`` must be a multiple of
+    ``mpc_every``. Trace entries are per GROUP (one per MPC solve,
+    post-group state), like the XLA driver. Requires a
     ``controller="mpc"`` tick (uses ``tick.held``).
+
+    ``hold_mode``: what the held ticks apply (VERDICT round-2 #5).
+      - "zoh": zero-order-hold the step-0 forces F_0 for the whole
+        window — consistent when the hold window fits one horizon step
+        (mpc_every * dt <= mpc_dt, the shipped configuration).
+      - "horizon": held tick k applies the horizon's own plan for that
+        moment, F_{floor(k dt / mpc_dt)} — the right semantics when the
+        hold window OUTRUNS one horizon step; reduces BITWISE to "zoh"
+        when every k maps to step 0 (tested).
+    The k -> horizon-step map is static (dt, mpc_dt, mpc_every all
+    compile-time), so "horizon" costs one stacked gather per group, no
+    extra kernels.
 
     ``cmd_schedule=True``: (steps, ..., 6) per-tick commands; the solve
     tick consumes the group's first command, the held ticks the rest."""
     assert steps % mpc_every == 0, (steps, mpc_every)
     assert hasattr(tick, "held"), "needs a controller='mpc' fused tick"
+    assert hold_mode in ("zoh", "horizon"), hold_mode
     rows = tick.rows
     dt = tick.consts.dt
+    # Static held-tick -> horizon-step map (k = 1 .. mpc_every-1).
+    if hold_mode == "horizon":
+        hold_idx = [min(int(k * dt / tick.mpc_dt), tick.mpc_horizon - 1)
+                    for k in range(1, mpc_every)]
+    else:
+        hold_idx = [0] * (mpc_every - 1)
     batch = plant.x.shape[:-1]
     dtype = plant.x.dtype
     B = 1
@@ -645,16 +667,27 @@ def rollout_whole_body_fused_decimated(plant: WholeBodyState,
                                       tausw_p, st_p, dt, n_substeps)
         carry_p = carry_new_p
 
-        def held_body(inner, cmd_t):
-            cmd_h = cmd_t if cmd_schedule else cmd_p
-            state_p, carry_p = inner
-            state_p, carry_p, _st = tick.held(state_p, carry_p, x_hold,
-                                              cmd_h, dt, n_substeps)
-            return (state_p, carry_p), None
+        if mpc_every > 1:
+            # (mpc_every-1, nb, 12, rows, LANE) horizon forces the held
+            # ticks apply (all F_0 slices for "zoh"; the static k->step
+            # map for "horizon").
+            x_seq = jnp.stack(
+                [F_p[:, 12 * i:12 * i + 12] for i in hold_idx])
 
-        (state_p, carry_p), _ = lax.scan(
-            held_body, (state_p, carry_p),
-            cmd_g[1:] if cmd_schedule else None, length=mpc_every - 1)
+            def held_body(inner, xs_t):
+                if cmd_schedule:
+                    x_h, cmd_h = xs_t
+                else:
+                    x_h, cmd_h = xs_t, cmd_p
+                state_p, carry_p = inner
+                state_p, carry_p, _st = tick.held(state_p, carry_p, x_h,
+                                                  cmd_h, dt, n_substeps)
+                return (state_p, carry_p), None
+
+            (state_p, carry_p), _ = lax.scan(
+                held_body, (state_p, carry_p),
+                (x_seq, cmd_g[1:]) if cmd_schedule else x_seq,
+                length=mpc_every - 1)
         out = None
         if record:
             diag_p = jnp.concatenate(

@@ -1229,7 +1229,8 @@ def solve_grf_qp_fused_split(r_masked, b, stance, mu, fz_min, fz_max, *,
 @partial(jax.jit, static_argnames=(
     "s_diag", "w_diag", "swing_relax", "iterations", "polish_sweeps",
     "polish_refine", "polish_multi_swap", "tail_divisor",
-    "tail_iterations", "tail_sweeps", "tail_refine", "tol", "tau", "rows",
+    "tail_iterations", "tail_sweeps", "tail_refine", "tail_prox_steps",
+    "tail_prox_iterations", "tail_prox_rho", "tol", "tau", "rows",
     "split", "interpret"))
 def solve_grf_qp_fused_two_phase(
         r_masked, b, stance, mu, fz_min, fz_max, *, s_diag, w_diag,
@@ -1238,6 +1239,8 @@ def solve_grf_qp_fused_two_phase(
         polish_multi_swap: bool = False,
         tail_divisor: int = 8, tail_iterations: int = 48,
         tail_sweeps: int = 32, tail_refine: int = 4,
+        tail_prox_steps: int = 0, tail_prox_iterations: int = 10,
+        tail_prox_rho: float = 1e-2,
         tol: float = 3e-5, tau: float = 0.995, rows: int = SUB,
         split: bool = False,
         interpret: bool = False) -> IPMSolution:
@@ -1297,6 +1300,10 @@ def solve_grf_qp_fused_two_phase(
     mu_b = jnp.broadcast_to(jnp.asarray(mu, jnp.float32), (B,))
     fmin_b = jnp.broadcast_to(jnp.asarray(fz_min, jnp.float32), (B,))
     fmax_b = jnp.broadcast_to(jnp.asarray(fz_max, jnp.float32), (B,))
+    # tail_prox_steps > 0 folds the certification prox restarts INTO this
+    # same tail dispatch (the in-kernel prox, _fused_kernel docstring) —
+    # one kernel instead of the separate XLA prox stage, ~10x cheaper and
+    # far cheaper to compile.
     sol2 = solve_grf_qp_fused(
         take(r_masked), take(b), take(stance), take(mu_b), take(fmin_b),
         take(fmax_b), s_diag=s_diag, w_diag=w_diag,
@@ -1304,6 +1311,8 @@ def solve_grf_qp_fused_two_phase(
         polish_sweeps=tail_sweeps,
         polish_refine=polish_refine if tail_refine is None else tail_refine,
         polish_multi_swap=polish_multi_swap, tol=tol, tau=tau, rows=rows,
+        prox_steps=tail_prox_steps,
+        prox_iterations=tail_prox_iterations, prox_rho=tail_prox_rho,
         interpret=interpret)
 
     # Scatter the re-solve back wherever it improved the flag.
@@ -1354,6 +1363,8 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                            rows: int = SUB, two_phase: bool = False,
                            tail_divisor: int = 8, tail_iterations: int = 48,
                            tail_sweeps: int = 32, tail_refine: int = 4,
+                           tail_prox_steps: int = 0,
+                           tail_prox_iterations: int = 10,
                            split: bool = False, prox_tail: bool = False,
                            prox_divisor: int = 64, prox_rho: float = 1e-2,
                            prox_steps: int = 4, prox_iterations: int = 30,
@@ -1426,7 +1437,9 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
         sol = solve_grf_qp_fused_two_phase(
             *args, iterations=iterations, tail_divisor=tail_divisor,
             tail_iterations=tail_iterations, tail_sweeps=tail_sweeps,
-            tail_refine=tail_refine, split=split, **common)
+            tail_refine=tail_refine, tail_prox_steps=tail_prox_steps,
+            tail_prox_iterations=tail_prox_iterations, split=split,
+            **common)
     else:
         sol = solve_grf_qp_fused(
             *args, iterations=iterations, polish=polish, **common)

@@ -96,10 +96,24 @@ def main():
     # (saturating — 5% of the hard set defeats the f32 single-swap search
     # at any budget). Multi-swap and over-active seeds measurably hurt.
     grid = (
-        ("warm6-p2r1", dict(qp_iterations=6, qp_polish=True,
-                            qp_polish_sweeps=2, qp_polish_refine=1)),
-        ("warm6-p8r1", dict(qp_iterations=6, qp_polish=True,
-                            qp_polish_sweeps=8, qp_polish_refine=1)),
+        # Round-3 frontier: barrier-only for everyone + the compacted
+        # certification tail (long warm-seeded polish + in-kernel prox
+        # restarts on the argsort-compacted uncertified B/divisor slice) —
+        # solver/pallas_fused.solve_grf_qp_tail_packed via qp_tail=True.
+        ("warm6-bar", dict(qp_iterations=6, qp_polish=False)),
+        ("warm6-tail4-s24-prox2x8", dict(
+            qp_iterations=6, qp_polish=False, qp_tail=True,
+            qp_tail_divisor=4, qp_tail_sweeps=24, qp_tail_prox_steps=2,
+            qp_tail_prox_iterations=8)),
+        ("warm6-tail4-s16-prox2x8", dict(
+            qp_iterations=6, qp_polish=False, qp_tail=True,
+            qp_tail_divisor=4, qp_tail_sweeps=16, qp_tail_prox_steps=2,
+            qp_tail_prox_iterations=8)),
+        ("warm6-tail4-s24-prox3x10", dict(
+            qp_iterations=6, qp_polish=False, qp_tail=True,
+            qp_tail_divisor=4, qp_tail_sweeps=24, qp_tail_prox_steps=3,
+            qp_tail_prox_iterations=10)),
+        # Round-2 reference point (inline polish for everyone).
         ("warm6-p24r1", dict(qp_iterations=6, qp_polish=True,
                              qp_polish_sweeps=24, qp_polish_refine=1)),
     )

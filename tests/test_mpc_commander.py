@@ -191,3 +191,52 @@ def test_gradient_wrt_mpc_state_weights():
     fd = (loss(w0 + e) - loss(w0 - e)) / 2e-4
     rel = abs(float(fd - g[i])) / (1.0 + abs(float(fd)))
     assert rel < 1e-5, (float(fd), float(g[i]))
+
+
+def test_decimation_envelope():
+    """The measured ZOH-F0 decimation envelope (VERDICT round-2 #5), SRB,
+    mpc_dt=0.03 at 300 Hz:
+
+      - hold window <= one horizon step (mpc_every <= 9): ZOH tracks the
+        0.2 m/s command exactly;
+      - 1.7 steps (mpc_every=15): ZOH diverges (the held F_0 overdrives —
+        speed balloons, the robot goes airborne), while
+        hold_mode="horizon" (held ticks consume the horizon's own F_k)
+        still tracks exactly;
+      - by ~3 steps (100 ms holds) even horizon-holding degrades: the
+        swing/stance transitions inside the window outrun any force plan
+        (t_swing = 0.15-0.18 s) — re-solve faster, don't hold longer.
+    """
+    from quadruped_control_tpu.control.commander import init_commander_carry
+    from quadruped_control_tpu.control.plant import init_plant_state
+    from quadruped_control_tpu.control.rollout import (
+        rollout,
+        rollout_mpc_decimated,
+    )
+
+    cfg = mit_cheetah_physical_config()
+    DT = jnp.float64
+    f = cfg.frequency
+    plant = init_plant_state(cfg, (), dtype=DT)
+    carry = init_commander_carry((), dtype=DT)
+    r0 = rollout(plant, carry, jnp.zeros(6, DT), 450, cfg,
+                 controller="mpc", mpc_horizon=8, mpc_dt=0.03,
+                 mpc_iterations=25, record=False)
+    cmd = jnp.zeros(6, DT).at[0].set(0.2)
+
+    def run(every, mode):
+        steps = (600 // every) * every
+        res = rollout_mpc_decimated(
+            r0.plant, r0.carry, cmd, steps, cfg, mpc_every=every,
+            mpc_horizon=8, mpc_dt=0.03, mpc_iterations=25, hold_mode=mode)
+        x = np.asarray(res.trace.x)
+        return (x[-1, 0] - x[0, 0]) / (steps / f), x[:, 2].max()
+
+    vx, zmax = run(9, "zoh")       # hold == mpc_dt: consistent
+    assert 0.15 < vx < 0.25, vx
+    assert zmax < 0.30, zmax
+    vx_bad, zmax_bad = run(15, "zoh")  # window outruns one step: diverges
+    assert vx_bad > 0.3 or zmax_bad > 0.5, (vx_bad, zmax_bad)
+    vx_h, zmax_h = run(15, "horizon")  # F_k holding restores tracking
+    assert 0.15 < vx_h < 0.25, vx_h
+    assert zmax_h < 0.30, zmax_h

@@ -712,6 +712,50 @@ def test_mpc_warm_decimated_every1_matches_pertick():
     assert np.isfinite(np.asarray(res_2.plant.u)).all()
 
 
+def test_mpc_decimated_hold_mode_horizon():
+    """hold_mode="horizon" (held ticks consume the horizon's own F_k,
+    VERDICT round-2 #5) reduces BITWISE to "zoh" when the hold window
+    fits one horizon step (every k maps to F_0), and stays finite when
+    the window outruns the horizon step (mpc_dt == dt -> k maps to F_k).
+    """
+    from quadruped_control_tpu.sim.pallas_tick import (
+        rollout_whole_body_fused_decimated,
+    )
+
+    Bs = 64
+    wb = init_whole_body_state(CFG, (Bs,), dtype=F64)
+    carry = init_commander_carry((Bs,), dtype=F64)
+    cmd = jnp.zeros((Bs, 6), F64)
+    # _MPC_DT = 0.03 >= 2 ticks of dt -> all held ticks map to step 0.
+    res_z = rollout_whole_body_fused_decimated(
+        wb, carry, cmd, 4, _TICK_MPC, mpc_every=2, n_substeps=N_SUB,
+        record=False, hold_mode="zoh")
+    res_h = rollout_whole_body_fused_decimated(
+        wb, carry, cmd, 4, _TICK_MPC, mpc_every=2, n_substeps=N_SUB,
+        record=False, hold_mode="horizon")
+    for name in ("R", "x", "u", "q", "anchor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res_h.plant, name)),
+            np.asarray(getattr(res_z.plant, name)), err_msg=name)
+
+    # mpc_dt == dt: held tick k applies F_k (the window outruns one
+    # horizon step; the map is non-trivial) — must differ from ZOH and
+    # stay finite.
+    tick_fast = make_fused_tick(MODEL, CFG, _CONTACT, rows=ROWS,
+                                controller="mpc", mpc_horizon=4,
+                                mpc_dt=float(DT), mpc_iterations=_MPC_IT,
+                                interpret=True)
+    res_hz = rollout_whole_body_fused_decimated(
+        wb, carry, cmd, 4, tick_fast, mpc_every=4, n_substeps=N_SUB,
+        record=False, hold_mode="horizon")
+    res_zz = rollout_whole_body_fused_decimated(
+        wb, carry, cmd, 4, tick_fast, mpc_every=4, n_substeps=N_SUB,
+        record=False, hold_mode="zoh")
+    assert np.isfinite(np.asarray(res_hz.plant.u)).all()
+    assert np.abs(np.asarray(res_hz.plant.q)
+                  - np.asarray(res_zz.plant.q)).max() > 0.0
+
+
 def test_sharded_mpc_fused_rollout_matches_single():
     """shard_map'd WARM MPC fused tick (decimated driver — the
     deployment-shape configuration) over the 8-device CPU mesh == the
