@@ -92,6 +92,7 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
                     qp_tail_rows: int = 8, qp_tail_sweeps: int = 24,
                     qp_tail_prox_steps: int = 2,
                     qp_tail_prox_iterations: int = 8,
+                    qp_tail_prox_sweeps: int | None = None,
                     contact_gate: float = 0.0,
                     raibert_cmd_symmetric: bool = False,
                     gravity_comp: bool = False,
@@ -306,6 +307,7 @@ def make_fused_tick(model: WholeBodyModel, cfg: ControlConfig,
             tail_rows=qp_tail_rows, tail_sweeps=qp_tail_sweeps,
             tail_prox_steps=qp_tail_prox_steps,
             tail_prox_iterations=qp_tail_prox_iterations,
+            tail_prox_sweeps=qp_tail_prox_sweeps,
             interpret=interpret)
 
     if qp_warm_start:

@@ -1551,6 +1551,7 @@ def solve_grf_qp_tail_packed(rp, bp, stp, mup, fminp, fmaxp,
                              tail_prox_steps: int = 2,
                              tail_prox_iterations: int = 8,
                              tail_prox_rho: float = 1e-2,
+                             tail_prox_sweeps: int | None = None,
                              tol: float = 3e-5, tau: float = 0.995,
                              interpret: bool = False):
     """Certification tail for the IN-LOOP fused tick (VERDICT round-2 #1).
@@ -1602,7 +1603,8 @@ def solve_grf_qp_tail_packed(rp, bp, stp, mup, fminp, fmaxp,
         tol=tol, tau=tau, rows=tail_rows,
         warm=(x_f[idx], s_f[idx], z_f[idx]),
         prox_steps=tail_prox_steps, prox_iterations=tail_prox_iterations,
-        prox_rho=tail_prox_rho, interpret=interpret)
+        prox_rho=tail_prox_rho, prox_sweeps=tail_prox_sweeps,
+        interpret=interpret)
 
     better = sol2.converged & ~conv[idx]
 

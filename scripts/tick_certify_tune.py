@@ -95,25 +95,27 @@ def main():
     # ~8 rows from the oracle set and converges ~1 row/sweep), 95% at 24
     # (saturating — 5% of the hard set defeats the f32 single-swap search
     # at any budget). Multi-swap and over-active seeds measurably hurt.
+    # Round-3 frontier (first sweep measured 2026-08-21, v5e):
+    #   warm6-bar                 0.9983/0.9667  0.101 ms
+    #   warm6-tail4-s24-prox2x8   1.0000/0.9983 10.710 ms (prox_sweeps=24)
+    #   warm6-tail4-s16-prox2x8   1.0000/0.9800  7.218 ms
+    #   warm6-tail4-s24-prox3x10  1.0000/0.9983 14.236 ms
+    #   warm6-p24r1 (round-2 ref) 1.0000/0.9967  5.022 ms
+    # -> the in-kernel prox BEATS the round-2 0.9967 asymptote (0.9983),
+    # and the cost is pure KERNEL LATENCY (sweeps x grid steps): at b4096
+    # the compacted tail is nb=1 and saves nothing. This sweep cuts the
+    # post-prox polish (prox_sweeps) and adds a LARGE-batch marginal where
+    # compaction genuinely amortizes (nb_tail = nb/4).
     grid = (
-        # Round-3 frontier: barrier-only for everyone + the compacted
-        # certification tail (long warm-seeded polish + in-kernel prox
-        # restarts on the argsort-compacted uncertified B/divisor slice) —
-        # solver/pallas_fused.solve_grf_qp_tail_packed via qp_tail=True.
         ("warm6-bar", dict(qp_iterations=6, qp_polish=False)),
-        ("warm6-tail4-s24-prox2x8", dict(
+        ("warm6-tail4-s24-prox2x8-ps6", dict(
             qp_iterations=6, qp_polish=False, qp_tail=True,
             qp_tail_divisor=4, qp_tail_sweeps=24, qp_tail_prox_steps=2,
-            qp_tail_prox_iterations=8)),
-        ("warm6-tail4-s16-prox2x8", dict(
+            qp_tail_prox_iterations=8, qp_tail_prox_sweeps=6)),
+        ("warm6-tail4-s24-prox1x8-ps8", dict(
             qp_iterations=6, qp_polish=False, qp_tail=True,
-            qp_tail_divisor=4, qp_tail_sweeps=16, qp_tail_prox_steps=2,
-            qp_tail_prox_iterations=8)),
-        ("warm6-tail4-s24-prox3x10", dict(
-            qp_iterations=6, qp_polish=False, qp_tail=True,
-            qp_tail_divisor=4, qp_tail_sweeps=24, qp_tail_prox_steps=3,
-            qp_tail_prox_iterations=10)),
-        # Round-2 reference point (inline polish for everyone).
+            qp_tail_divisor=4, qp_tail_sweeps=24, qp_tail_prox_steps=1,
+            qp_tail_prox_iterations=8, qp_tail_prox_sweeps=8)),
         ("warm6-p24r1", dict(qp_iterations=6, qp_polish=True,
                              qp_polish_sweeps=24, qp_polish_refine=1)),
     )
@@ -124,12 +126,14 @@ def main():
         log(f"{name}:")
         conv_s, conv_t = behavior(tick)
         per = marginal_ms(tick)
-        log(f"  {per:.3f} ms/tick -> {4096 / per * 1e3:,.0f} ticks/s")
-        out[name] = (conv_s, conv_t, per)
+        per32 = marginal_ms(tick, B=32768, lo=20, hi=100)
+        log(f"  {per:.3f} ms/tick @ b4096 -> {4096 / per * 1e3:,.0f} t/s; "
+            f"{per32:.3f} ms @ b32768 -> {32768 / per32 * 1e3:,.0f} t/s")
+        out[name] = (conv_s, conv_t, per, per32)
 
-    log("\nsummary (conv_stand, conv_trot, ms/tick @ b4096):")
-    for name, (cs, ct, per) in out.items():
-        log(f"  {name}: {cs:.4f} {ct:.4f} {per:.3f}")
+    log("\nsummary (conv_stand, conv_trot, ms/tick@4096, ms/tick@32768):")
+    for name, (cs, ct, per, per32) in out.items():
+        log(f"  {name}: {cs:.4f} {ct:.4f} {per:.3f} {per32:.3f}")
 
 
 if __name__ == "__main__":

@@ -166,6 +166,44 @@ def test_whole_body_batched_scenarios():
     )
 
 
+def test_urdf_model_values_and_standup():
+    """mit_cheetah_urdf_model pins the PUBLISHED Mini Cheetah inertials
+    (Katz et al. 2019 / mit_cheetah_description; PARITY.md "Model
+    fidelity") and fixes the synthesized model's asymmetric stand: the
+    robot stands up essentially in place (x drift |dx| < 2 cm vs the
+    synthesized model's measured -5.1 cm crouch) and holds the in-place
+    gait. The published body inertia matches the reference's SRB config
+    EXACTLY — the corroboration that these are the right numbers."""
+    from quadruped_control_tpu.config import mit_cheetah_whole_body_config
+    from quadruped_control_tpu.sim import mit_cheetah_urdf_model
+
+    cfg = mit_cheetah_whole_body_config()
+    model = mit_cheetah_urdf_model(cfg, dtype=DT)
+    # Data pins: published values, trunk-padded to the controller's mass.
+    np.testing.assert_allclose(np.asarray(model.link_mass[0]),
+                               [0.54, 0.634, 0.064], rtol=0)
+    assert abs(float(model.trunk_mass)
+               + 4 * (0.54 + 0.634 + 0.064) - cfg.balance.mass) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(jnp.diagonal(model.trunk_inertia)),
+        cfg.balance.inertia_diag, rtol=0)
+    np.testing.assert_allclose(np.asarray(model.armature),
+                               33e-6 * 36.0, rtol=1e-12)
+
+    kw = dict(controller="mpc", mpc_backend="structured", mpc_horizon=8,
+              mpc_dt=0.03, mpc_iterations=15, gravity_comp=True,
+              n_substeps=N_SUB)
+    plant, carry = init_whole_body_rollout(cfg, dtype=DT)
+    res = rollout_whole_body(plant, carry, jnp.zeros(6, DT), 900, cfg,
+                             model, CONTACT, **kw)
+    assert bool(res.carry.standing)
+    z = float(res.plant.x[2])
+    assert abs(z - cfg.stand.height) < 0.01, z
+    assert abs(float(res.plant.x[0])) < 0.02, float(res.plant.x[0])
+    rpy = np.asarray(matrix_to_rpy(res.plant.R))
+    assert abs(rpy[0]) < 0.1 and abs(rpy[1]) < 0.15, rpy
+
+
 def test_leg_inertial_sensitivity():
     """Whole-body behavior claims survive -30%/+15% leg inertials.
 
