@@ -42,14 +42,28 @@ ROWS = int(os.environ.get("QCT_BENCH_ROWS", 16))  # tile height: the fused
 REPS = int(os.environ.get("QCT_BENCH_REPS", 16))
 # Certification tail: QCT_BENCH_PROX selects how the compacted hard tail
 # is certified.
-#   "1" (default): IN-KERNEL proximal restarts folded into the two-phase
-#       tail dispatch (solver/pallas_fused._fused_kernel prox mode) — the
-#       round-3 path: certification without a third stage, ~10x cheaper
-#       than the XLA prox and far cheaper to compile.
+#   "1" (default): THIRD-stage IN-KERNEL proximal restarts on a second
+#       B/64 compaction (solver/pallas_fused prox_backend="kernel") — the
+#       round-3 path: the slice is small enough to afford a heavy restart
+#       schedule, ~10x cheaper than the legacy XLA stage and far cheaper
+#       to compile.
+#   "tail": fold lighter prox restarts INTO the two-phase tail dispatch
+#       (tail_prox_steps) — two dispatches total; measured 1.21M @ 0.9991
+#       (v5e 2026-08-21).
 #   "0": no prox — the two-phase-only throughput point (~0.9985 conv).
 #   "xla": the legacy round-2 XLA prox stage (solve_qp_ipm_pallas
 #       restarts; ~15 ms + ~200 s compile at 32k) for A/B comparison.
 PROX = os.environ.get("QCT_BENCH_PROX", "1")
+# Prox shape: restart count, barrier iterations per restart, and
+# post-restart re-polish sweeps.
+PROX_STEPS = int(os.environ.get("QCT_BENCH_PROX_STEPS", 6))
+PROX_ITERS = int(os.environ.get("QCT_BENCH_PROX_ITERS", 24))
+PROX_SWEEPS = int(os.environ.get("QCT_BENCH_PROX_SWEEPS", 6))
+# Two-phase hard-tail schedule (phase 2); the stage-3 prox now carries
+# the deep certification, so the tail can run shorter than round 2's
+# it=48/sweeps=32.
+TAIL_ITERS = int(os.environ.get("QCT_BENCH_TAIL_ITERS", 24))
+TAIL_SWEEPS = int(os.environ.get("QCT_BENCH_TAIL_SWEEPS", 16))
 # QCT_BENCH_MARGINAL=1 reports the marginal per-rep time (long run minus
 # short run), removing fixed dispatch overhead from the headline.
 MARGINAL = os.environ.get("QCT_BENCH_MARGINAL", "0") != "0"
@@ -77,9 +91,14 @@ def main():
             s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d, s.feet,
             s.stance, cfg.balance, iterations=ITERATIONS, polish=True,
             polish_sweeps=2, two_phase=True, split=True, rows=ROWS,
-            tail_prox_steps=2 if PROX == "1" else 0,
-            tail_prox_iterations=10,
-            prox_tail=(PROX == "xla"))
+            tail_iterations=TAIL_ITERS, tail_sweeps=TAIL_SWEEPS,
+            tail_prox_steps=PROX_STEPS if PROX == "tail" else 0,
+            tail_prox_iterations=PROX_ITERS,
+            tail_prox_sweeps=PROX_SWEEPS,
+            prox_tail=PROX in ("1", "xla"),
+            prox_backend="kernel" if PROX == "1" else "xla",
+            prox_steps=PROX_STEPS, prox_iterations=PROX_ITERS,
+            prox_sweeps=PROX_SWEEPS)
         return sol.x, sol.converged, s
 
     key = jax.random.key(0)
@@ -173,6 +192,41 @@ def main():
     except Exception as e:  # oracle is host-side float64; never block bench
         log(f"oracle check skipped: {e}")
         parity_ok = -1.0
+
+    # Second operating point for the diagnostics (VERDICT round-2 #3):
+    # the two-phase-only THROUGHPUT mode (no prox), one quick marginal
+    # round. The JSON headline stays the certified default above.
+    if PROX == "1" and os.environ.get("QCT_BENCH_SECOND", "1") != "0":
+        @jax.jit
+        def pipeline_fast(key):
+            s = grf_scenarios(key, BATCH, cfg, dtype=jnp.float32)
+            sol = solve_balance_qp_fused(
+                s.R, s.R_d, s.x, s.xdot, s.w, s.x_d, s.xdot_d, s.w_d,
+                s.feet, s.stance, cfg.balance, iterations=ITERATIONS,
+                polish=True, polish_sweeps=2, two_phase=True, split=True,
+                rows=ROWS, tail_iterations=TAIL_ITERS,
+                tail_sweeps=TAIL_SWEEPS)
+            return sol.converged
+
+        conv_f = jax.block_until_ready(
+            pipeline_fast(jax.random.key(7)))
+        reps = max(REPS // 2, 4)
+        keys = jax.random.split(jax.random.key(99), 3 * reps)
+        jax.block_until_ready(pipeline_fast(keys[0]))
+        t0 = time.time()
+        for k in keys[:reps]:
+            out = pipeline_fast(k)
+        jax.block_until_ready(out)
+        t1 = time.time() - t0
+        t0 = time.time()
+        for k in keys:
+            out = pipeline_fast(k)
+        jax.block_until_ready(out)
+        t3 = time.time() - t0
+        dtf = max((t3 - t1) / (2 * reps), 1e-9)
+        log(f"throughput mode (no prox): {BATCH / dtf:,.0f} QPs/s marginal"
+            f" at conv {float(jnp.mean(conv_f.astype(jnp.float32))):.4f}"
+            " (headline stays the certified point)")
 
     # Converged throughput is the honest headline: solved instances per
     # second on this chip.

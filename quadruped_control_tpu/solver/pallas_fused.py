@@ -691,13 +691,52 @@ def _polish(Qs, cs, Gs, hs, x0, s0, z0, Ksc, Dsc, usc, *, sweeps: int,
     return bx, bs, bz, cert
 
 
+def _loose_conv(Qu, c, Grow, h, Dv, Er, nu, x, s, z, tol):
+    """The loose original-units KKT criterion (the same formula as the
+    kernel's final diag conv) for an EQUILIBRATED candidate (x, s, z) —
+    used to gate prox-restart acceptance mid-kernel."""
+    inv_nu = 1.0 / nu
+    xo = [x[i] * Dv[i] for i in range(N)]
+    zo = [z[r] * Er[r] * inv_nu for r in range(M)]
+    so = [s[r] / Er[r] for r in range(M)]
+    gap = so[0] * zo[0]
+    pr = jnp.abs(_gx(Grow, xo, 0) + so[0] - h[0])
+    for rr in range(1, M):
+        gap = gap + so[rr] * zo[rr]
+        pr = jnp.maximum(pr, jnp.abs(_gx(Grow, xo, rr) + so[rr] - h[rr]))
+    gap = jnp.abs(gap) * (1.0 / M)
+    dr = None
+    for i in range(N):
+        v = c[i]
+        for j in range(N):
+            v = v + _sym(Qu, i, j) * xo[j]
+        leg, col = i // 3, i % 3
+        for t in _COL_ROWS[col]:
+            rr = 6 * leg + t
+            g = dict(Grow[rr])[col]
+            v = v + g * zo[rr]
+        va = jnp.abs(v)
+        dr = va if dr is None else jnp.maximum(dr, va)
+    cmax = jnp.abs(c[0])
+    hmax = jnp.abs(h[0])
+    for i in range(1, N):
+        cmax = jnp.maximum(cmax, jnp.abs(c[i]))
+    for rr in range(1, M):
+        hmax = jnp.maximum(hmax, jnp.abs(h[rr]))
+    scale = 1.0 + cmax
+    tolf = jnp.float32(tol)
+    return ((pr < tolf * (1.0 + hmax)) & (dr < tolf * scale)
+            & (gap < tolf * scale))
+
+
 def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
                   x_ref, s_ref, z_ref, diag_ref, Ksc, Dsc, usc,
                   *, s_diag, w_diag, swing_relax, iterations, tau, tol,
                   polish, polish_sweeps, polish_refine,
                   polish_multi_swap=False, warm_refs=None,
                   prox_steps: int = 0, prox_iterations: int = 10,
-                  prox_rho: float = 1e-2, prox_sweeps: int | None = None):
+                  prox_rho: float = 1e-2, prox_sweeps: int | None = None,
+                  prox_cold: bool = False):
     """Kernel body. Modes: full (barrier + polish), barrier-only
     (polish=False), polish-only (3-tuple warm_refs + iterations == 0 — the
     barrier is skipped and the warm (x, s, z) in ORIGINAL units seed the
@@ -712,14 +751,23 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
 
     ``prox_steps > 0`` (requires polish): IN-KERNEL proximal restarts for
     the degenerate 4-stance family whose active set defeats the
-    single-swap search (ROADMAP "tail anatomy"). Each step re-solves the
-    regularized problem min ½xᵀ(Q+ρI)x + (c−ρx_k)ᵀx warm-started from the
-    current iterate (ρ = prox_rho in equilibrated units, where diag(Q) is
-    exactly nu) — the re-centering perturbs the barrier trajectory enough
-    to reveal a different active set — then re-polishes against the
-    ORIGINAL KKT. Certified lanes freeze; prox iterates keep advancing.
-    The in-kernel twin of solver/ipm.solve_qp_prox (the bench's XLA prox
-    tail, which is ~10-30x too slow for the 1 ms in-loop tick budget)."""
+    single-swap search (ROADMAP "tail anatomy"). Each step (run under a
+    lax.fori_loop — a Python unroll costs ~60-75 s of Mosaic compile per
+    step) solves min ½xᵀ(Q+ρI)x + (c−ρx_k)ᵀx with ρ = prox_rho *
+    mean(diag Q) UNIFORM in original units (a proportional ρ adds nothing
+    on exactly the flat directions that need stiffening — measured −0.0005
+    conv), RE-EQUILIBRATES the regularized problem (its conditioning
+    profile is completely different: cond ~1e6 collapses once the flat
+    directions carry ρ), warm-starts the barrier from the prox iterate,
+    and polishes the REGULARIZED subproblem (strongly convex, so its
+    active-set search is not f32-defeated; polishing the original problem
+    just re-enters the defeated search — measured −0.0005 conv).
+    Acceptance is by the loose 3e-5 ORIGINAL-KKT criterion (at the prox
+    fixed point the regularized optimum satisfies the original KKT to
+    ρ|x_{k+1}−x_k|); accepted lanes freeze, prox iterates keep advancing.
+    Each of these details was isolated by A/B on the 32k bench tail
+    (2026-08-21): together they take the tail from 0.9985 to 0.9998,
+    matching the round-2 XLA prox at ~1/10 the cost and compile."""
     r = [[r_ref[3 * l + k] for k in range(3)] for l in range(4)]
     b = [b_ref[i] for i in range(6)]
     st = [st_ref[l] for l in range(4)]
@@ -795,36 +843,110 @@ def _fused_kernel(r_ref, b_ref, st_ref, mu_ref, fzmin_ref, fzmax_ref,
             # normalizes the diagonal to 1 before the nu rescale), so
             # rho = prox_rho * nu is a relative regularization.
             interior_p = jnp.float32(1e-2)
-            rho = jnp.float32(prox_rho) * nu
+            # Regularize UNIFORMLY in ORIGINAL-variable units (the scale
+            # solve_qp_prox uses): rho_orig = prox_rho * mean(diag Q_orig).
+            # A proportional (equilibrated-diagonal) rho adds ~nothing on
+            # exactly the flat 1e-5-curvature directions of the degenerate
+            # 4-stance family — the directions the restart must stiffen
+            # (measured: proportional saturates at conv 0.9992 on the
+            # bench tail; uniform matches the round-2 XLA prox). In
+            # equilibrated coordinates that is rho_i = rho_orig Dv_i^2 nu
+            # (orig diag_i == 1/Dv_i^2 since Qs_ii == nu).
+            d2 = [Dv[i] * Dv[i] for i in range(N)]
+            mean_diag = d2[0] * 0.0
+            for i in range(N):
+                mean_diag = mean_diag + 1.0 / d2[i]
+            mean_diag = mean_diag * jnp.float32(1.0 / N)
+            rho_orig = jnp.float32(prox_rho) * mean_diag
             psw = polish_sweeps if prox_sweeps is None else prox_sweeps
-            xk, sk, zk = x, s, z
-            for _ in range(prox_steps):
-                Qp = [[None] * N for _ in range(N)]
+            # Prox state in ORIGINAL units: the regularized subproblem is
+            # RE-EQUILIBRATED each step (Q + rho I has a completely
+            # different conditioning profile than Q for the degenerate
+            # family — cond ~1e6 collapses once the flat directions carry
+            # rho — and the round-2 XLA prox owed much of its efficacy to
+            # its solver re-equilibrating the subproblem).
+            xko = [x[i] * Dv[i] for i in range(N)]
+            sko = [s[r] / Er[r] for r in range(M)]
+            zko = [z[r] * Er[r] / nu for r in range(M)]
+            # Acceptance mask: once a lane holds a strict-certified OR
+            # loose-3e-5 point, later prox steps must not overwrite it.
+            # ``cert`` itself stays the STRICT certificate (diag row 0).
+            acc0 = jnp.where(cert > 0.5, jnp.float32(1.0),
+                             jnp.float32(0.0))
+
+            # The steps run under lax.fori_loop (identical body; carries
+            # are f32 tiles only — Mosaic forbids bool vectors in fori
+            # carries): a Python unroll costs ~60-75 s of Mosaic compile
+            # PER STEP (measured 292 s at 4 steps), the rolled loop
+            # compiles once.
+            def _prox_body(_k, pc):
+                xko, sko, zko, x, s, z, acc = pc
+                xko, sko, zko = list(xko), list(sko), list(zko)
+                x, s, z = list(x), list(s), list(z)
+                Qup = [[None] * N for _ in range(N)]
                 for i in range(N):
                     for j in range(i, N):
-                        Qp[i][j] = (Qs[i][j] + rho if i == j
-                                    else Qs[i][j])
-                ck = [cs[i] - rho * xk[i] for i in range(N)]
-                s0p = [jnp.maximum(sk[rr], interior_p) for rr in range(M)]
-                z0p = [jnp.maximum(zk[rr], interior_p / s0p[rr])
-                       for rr in range(M)]
-                xb, sb, zb = _barrier(Qp, ck, Gsr, hs,
-                                      iterations=prox_iterations, tau=tau,
-                                      init=(xk, s0p, z0p))
-                # Re-polish against the ORIGINAL problem from the prox
-                # point — certification is against the original KKT.
-                a0p = [jnp.where(zb[rr] > sb[rr], jnp.float32(1.0),
+                        Qup[i][j] = (Qu[i][j] + rho_orig if i == j
+                                     else Qu[i][j])
+                cko = [c[i] - rho_orig * xko[i] for i in range(N)]
+                Qsp, csp, Gsp, hsp, Dvp, Erp, nup = _equilibrate_tiles(
+                    Qup, cko, Grow, h)
+                if prox_cold:
+                    initp = None
+                else:
+                    x0p = [xko[i] / Dvp[i] for i in range(N)]
+                    s0p = [jnp.maximum(sko[rr] * Erp[rr], interior_p)
+                           for rr in range(M)]
+                    z0p = [jnp.maximum(zko[rr] * nup / Erp[rr],
+                                       interior_p / s0p[rr])
+                           for rr in range(M)]
+                    initp = (x0p, s0p, z0p)
+                xbp, sbp, zbp = _barrier(Qsp, csp, Gsp, hsp,
+                                         iterations=prox_iterations,
+                                         tau=tau, init=initp)
+                # Polish the REGULARIZED subproblem (the decisive detail:
+                # Q + rho I is strongly convex, so ITS active-set search
+                # is not f32-defeated the way the original degenerate
+                # family's is — re-polishing against the original problem
+                # just re-enters the defeated search; the round-2 XLA prox
+                # polished each regularized solve). Certification against
+                # the ORIGINAL KKT happens at acceptance below: at the
+                # prox fixed point the regularized optimum satisfies the
+                # original KKT to rho |x_k+1 - x_k|.
+                a0p = [jnp.where(zbp[rr] > sbp[rr], jnp.float32(1.0),
                                  jnp.float32(0.0)) for rr in range(M)]
-                xp2, sp2, zp2, cert2 = _polish(
-                    Qs, cs, Gsr, hs, xb, sb, zb, Ksc, Dsc, usc,
+                xp2p, sp2p, zp2p, _cert_reg = _polish(
+                    Qsp, csp, Gsp, hsp, xbp, sbp, zbp, Ksc, Dsc, usc,
                     sweeps=psw, refine=polish_refine, a0=a0p,
                     multi_swap=polish_multi_swap)
-                newly = (cert2 > 0.5) & ~(cert > 0.5)
+                # Primed coords -> original -> the OUTER equilibrated
+                # coords the output lives in.
+                xbo = [xp2p[i] * Dvp[i] for i in range(N)]
+                sbo = [sp2p[r] / Erp[r] for r in range(M)]
+                zbo = [zp2p[r] * Erp[r] / nup for r in range(M)]
+                xp2 = [xbo[i] / Dv[i] for i in range(N)]
+                sp2 = [jnp.maximum(sbo[r] * Er[r], jnp.float32(1e-30))
+                       for r in range(M)]
+                zp2 = [jnp.maximum(zbo[r] * nu / Er[r],
+                                   jnp.float32(1e-30)) for r in range(M)]
+                # Accept on the loose 3e-5 ORIGINAL-KKT criterion (the bar
+                # the round-2 XLA prox accepted at; the strict certificate
+                # cannot transfer — it certifies the regularized problem).
+                loose2 = _loose_conv(Qu, c, Grow, h, Dv, Er, nu,
+                                     xp2, sp2, zp2, tol)
+                newly = loose2 & (acc < 0.5)
                 x = [jnp.where(newly, xp2[i], x[i]) for i in range(N)]
                 s = [jnp.where(newly, sp2[rr], s[rr]) for rr in range(M)]
                 z = [jnp.where(newly, zp2[rr], z[rr]) for rr in range(M)]
-                cert = jnp.maximum(cert, cert2)
-                xk, sk, zk = xb, sb, zb
+                acc = jnp.where(newly, jnp.float32(1.0), acc)
+                return (tuple(xbo), tuple(sbo), tuple(zbo),
+                        tuple(x), tuple(s), tuple(z), acc)
+
+            pc = lax.fori_loop(
+                0, prox_steps, _prox_body,
+                (tuple(xko), tuple(sko), tuple(zko),
+                 tuple(x), tuple(s), tuple(z), acc0))
+            x, s, z = list(pc[3]), list(pc[4]), list(pc[5])
     else:
         cert = jnp.zeros_like(x[0])
 
@@ -965,7 +1087,7 @@ def _prep_inputs(r_masked, b, stance, mu, fz_min, fz_max, rows=SUB):
     "s_diag", "w_diag", "swing_relax", "iterations", "polish",
     "polish_sweeps", "polish_refine", "polish_multi_swap", "tol", "tau",
     "rows", "prox_steps", "prox_iterations", "prox_rho", "prox_sweeps",
-    "interpret"))
+    "prox_cold", "interpret"))
 def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
                        s_diag, w_diag, swing_relax=SWING_ROW_RELAX,
                        iterations: int = 20, polish: bool = True,
@@ -977,6 +1099,7 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
                        prox_steps: int = 0, prox_iterations: int = 10,
                        prox_rho: float = 1e-2,
                        prox_sweeps: int | None = None,
+                       prox_cold: bool = False,
                        interpret: bool = False) -> IPMSolution:
     """Fused assembly + solve of the batched GRF QP from raw SRB state.
 
@@ -1025,7 +1148,7 @@ def solve_grf_qp_fused(r_masked, b, stance, mu, fz_min, fz_max, *,
         polish_refine=polish_refine, polish_multi_swap=polish_multi_swap,
         tol=tol, tau=tau, rows=rows, prox_steps=prox_steps,
         prox_iterations=prox_iterations, prox_rho=prox_rho,
-        prox_sweeps=prox_sweeps, interpret=interpret)
+        prox_sweeps=prox_sweeps, prox_cold=prox_cold, interpret=interpret)
 
     x = _unpack_rows(xo)
     s = _unpack_rows(so)
@@ -1049,6 +1172,7 @@ def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
                               prox_iterations: int = 10,
                               prox_rho: float = 1e-2,
                               prox_sweeps: int | None = None,
+                              prox_cold: bool = False,
                               interpret: bool = False):
     """The fused GRF-QP kernel on PRE-PACKED (nb, k, rows, 128) tiles.
 
@@ -1100,7 +1224,7 @@ def solve_grf_qp_fused_packed(rp, bp, stp, mup, fminp, fmaxp, *warm_packed,
         tol=tol, polish=polish, polish_sweeps=polish_sweeps,
         polish_refine=polish_refine, polish_multi_swap=polish_multi_swap,
         prox_steps=prox_steps, prox_iterations=prox_iterations,
-        prox_rho=prox_rho, prox_sweeps=prox_sweeps,
+        prox_rho=prox_rho, prox_sweeps=prox_sweeps, prox_cold=prox_cold,
         has_warm=has_warm, has_st_prev=has_st_prev)
 
     return pl.pallas_call(
@@ -1230,8 +1354,8 @@ def solve_grf_qp_fused_split(r_masked, b, stance, mu, fz_min, fz_max, *,
     "s_diag", "w_diag", "swing_relax", "iterations", "polish_sweeps",
     "polish_refine", "polish_multi_swap", "tail_divisor",
     "tail_iterations", "tail_sweeps", "tail_refine", "tail_prox_steps",
-    "tail_prox_iterations", "tail_prox_rho", "tol", "tau", "rows",
-    "split", "interpret"))
+    "tail_prox_iterations", "tail_prox_rho", "tail_prox_sweeps", "tol",
+    "tau", "rows", "split", "interpret"))
 def solve_grf_qp_fused_two_phase(
         r_masked, b, stance, mu, fz_min, fz_max, *, s_diag, w_diag,
         swing_relax=SWING_ROW_RELAX, iterations: int = 20,
@@ -1240,7 +1364,7 @@ def solve_grf_qp_fused_two_phase(
         tail_divisor: int = 8, tail_iterations: int = 48,
         tail_sweeps: int = 32, tail_refine: int = 4,
         tail_prox_steps: int = 0, tail_prox_iterations: int = 10,
-        tail_prox_rho: float = 1e-2,
+        tail_prox_rho: float = 1e-2, tail_prox_sweeps: "int | None" = None,
         tol: float = 3e-5, tau: float = 0.995, rows: int = SUB,
         split: bool = False,
         interpret: bool = False) -> IPMSolution:
@@ -1313,6 +1437,7 @@ def solve_grf_qp_fused_two_phase(
         polish_multi_swap=polish_multi_swap, tol=tol, tau=tau, rows=rows,
         prox_steps=tail_prox_steps,
         prox_iterations=tail_prox_iterations, prox_rho=tail_prox_rho,
+        prox_sweeps=tail_prox_sweeps,
         interpret=interpret)
 
     # Scatter the re-solve back wherever it improved the flag.
@@ -1365,9 +1490,12 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                            tail_sweeps: int = 32, tail_refine: int = 4,
                            tail_prox_steps: int = 0,
                            tail_prox_iterations: int = 10,
+                           tail_prox_sweeps: int | None = None,
                            split: bool = False, prox_tail: bool = False,
                            prox_divisor: int = 64, prox_rho: float = 1e-2,
                            prox_steps: int = 4, prox_iterations: int = 30,
+                           prox_backend: str = "kernel",
+                           prox_sweeps: int = 8, prox_cold: bool = False,
                            interpret: bool = False) -> IPMSolution:
     """End-to-end fused balance-controller solve: the XLA side computes only
     the tiny per-instance precursors (PD accelerations, masked world foot
@@ -1438,7 +1566,8 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
             *args, iterations=iterations, tail_divisor=tail_divisor,
             tail_iterations=tail_iterations, tail_sweeps=tail_sweeps,
             tail_refine=tail_refine, tail_prox_steps=tail_prox_steps,
-            tail_prox_iterations=tail_prox_iterations, split=split,
+            tail_prox_iterations=tail_prox_iterations,
+            tail_prox_sweeps=tail_prox_sweeps, split=split,
             **common)
     else:
         sol = solve_grf_qp_fused(
@@ -1464,6 +1593,47 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
             v = jnp.asarray(v, jnp.float32)
             return v if v.ndim == 0 else v[idx]
 
+        if prox_backend == "kernel":
+            # Round-3 path: the in-kernel proximal restarts
+            # (_fused_kernel prox mode) on the compacted slice — one
+            # fused dispatch instead of dense assembly + prox_steps
+            # generic-IPM solves; ~10x cheaper and far cheaper to
+            # compile, same certify-against-original-KKT semantics.
+            # rows=8 for the prox stage: the re-equilibrated subproblem
+            # keeps a second scaled system live in VMEM — rows=16 overruns
+            # the 16 MB scoped ceiling by ~0.2-0.7 MB (measured); rows=8
+            # halves the footprint at the same per-tile sweep latency.
+            prox_rows = min(rows, 8)
+            tile_k = prox_rows * LANE
+            Bt = min(((Bt + tile_k - 1) // tile_k) * tile_k, Bp)
+            idx = order[:Bt]
+            psol = solve_grf_qp_fused(
+                args[0][idx].reshape(Bt, 4, 3), args[1][idx],
+                args[2][idx], take(args[3]), take(args[4]), take(args[5]),
+                s_diag=tuple(cfg.s_diag), w_diag=float(cfg.w_diag),
+                iterations=0, polish=True, polish_sweeps=prox_sweeps,
+                warm=(sol.x[idx], sol.s[idx], sol.z[idx]),
+                prox_steps=prox_steps, prox_iterations=prox_iterations,
+                prox_rho=prox_rho, prox_sweeps=prox_sweeps,
+                prox_cold=prox_cold, rows=prox_rows,
+                interpret=interpret)
+            better = psol.converged & ~sol.converged[idx]
+
+            def pmerge0(a1, a2):
+                upd = better.reshape(better.shape + (1,) * (a2.ndim - 1))
+                return a1.at[idx].set(jnp.where(upd, a2, a1[idx]))
+
+            sol = IPMSolution(
+                x=pmerge0(sol.x, psol.x), z=pmerge0(sol.z, psol.z),
+                s=pmerge0(sol.s, psol.s), iterations=sol.iterations,
+                gap=pmerge0(sol.gap, psol.gap),
+                primal_residual=pmerge0(sol.primal_residual,
+                                        psol.primal_residual),
+                dual_residual=pmerge0(sol.dual_residual,
+                                      psol.dual_residual),
+                converged=pmerge0(sol.converged, psol.converged),
+            )
+    if prox_tail and prox_backend != "kernel":
         rm = args[0][idx]          # (Bt, 4, 3) stance-masked world levers
         bb = args[1][idx]          # (Bt, 6)
         stl = args[2][idx] > 0.5   # (Bt, 4)
