@@ -1510,14 +1510,19 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
 
     prox_tail=True adds a THIRD phase for certification-critical sweeps:
     the residual uncertified instances (the degenerate 4-stance family the
-    kernel tail saturates on — see solver/ipm.solve_qp_prox) are compacted
-    into a B/prox_divisor slice and re-solved by proximal restart in dense
-    jnp form, certifying against the ORIGINAL KKT. Measured on harvested
-    hard instances: ~80% of the kernel-saturated tail certifies (overall
-    conv 0.9991 -> ~0.9998 at 16k batch) for ~1.3-1.6x the two-phase cost.
-    bench.py defaults this ON (measured 2026-08-20 at 32k: conv 0.9998,
-    1.24M QPs/s marginal); QCT_BENCH_PROX=0 selects the two-phase-only
-    throughput point (~2.3M marginal, conv 0.9985).
+    kernel tail saturates on) are compacted into a B/prox_divisor slice
+    and re-solved by proximal restarts. prox_backend:
+      - "kernel" (default, round 3): the IN-KERNEL prox mode of the fused
+        kernel (_fused_kernel docstring — uniform original-units rho,
+        re-equilibrated regularized subproblem, regularized polish,
+        loose-original-KKT acceptance, steps under lax.fori). bench.py
+        measured 2026-08-21 at 32k: conv 0.9998 at 1.357M QPs/s marginal
+        with the i24/s16 two-phase tail — +18% over the XLA stage at
+        equal certification and ~1/3 the first compile.
+      - "xla": the round-2 stage (dense assembly + solve_qp_ipm_pallas
+        restarts; ~15 ms + ~200 s compile at 32k), kept for A/B.
+    QCT_BENCH_PROX=0 selects the two-phase-only throughput point
+    (~2.3M marginal, conv ~0.9985).
     """
     xddot_d, wdot_d = pd_accelerations(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                                        cfg)

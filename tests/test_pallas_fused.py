@@ -150,10 +150,11 @@ def test_fused_full_matches_oracle_on_tpu():
 
 
 def test_prox_tail_lifts_convergence_interpret(rng):
-    """prox_tail plumbing (gather -> dense assembly -> prox restart ->
-    certified merge-back): with a deliberately starved base schedule, the
-    prox phase must certify instances the base could not, and never lose
-    already-certified ones."""
+    """prox_tail plumbing (argsort compaction -> IN-KERNEL prox restarts,
+    prox_backend="kernel" round-3 default -> merge-back): with a
+    deliberately starved base schedule, the prox phase must certify
+    instances the base could not, and never lose already-certified
+    ones."""
     cfg, s, r_masked, b, mu = _scenario_inputs(jax.random.key(9))
     bal = cfg.balance
     base = pf.solve_balance_qp_fused(
