@@ -223,8 +223,14 @@ def main():
             out = pipeline_fast(k)
         jax.block_until_ready(out)
         t3 = time.time() - t0
-        dtf = max((t3 - t1) / (2 * reps), 1e-9)
-        log(f"throughput mode (no prox): {BATCH / dtf:,.0f} QPs/s marginal"
+        dtf = (t3 - t1) / (2 * reps)
+        # Tunnel contention makes the marginal unreliable below ~20% of
+        # the plain per-rep time (the same artifact the headline's
+        # discard-and-retry handles); fall back to the plain time.
+        plain = t3 / (3 * reps)
+        if dtf < 0.2 * plain:
+            dtf = plain
+        log(f"throughput mode (no prox): {BATCH / dtf:,.0f} QPs/s"
             f" at conv {float(jnp.mean(conv_f.astype(jnp.float32))):.4f}"
             " (headline stays the certified point)")
 
