@@ -15,8 +15,21 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _canon(dtype):
+    """Canonicalize a requested dtype to what the runtime supports.
+
+    Config helpers are called with float64 from the f64 CPU test suite AND
+    from f32-only contexts (the multichip dryrun, TPU drivers); an explicit
+    float64 request without x64 enabled makes every jnp.array call emit a
+    truncation UserWarning (it spams the official MULTICHIP artifacts).
+    Canonicalizing first keeps the same numerics, silently."""
+    return jax.dtypes.canonicalize_dtype(dtype)
+
 
 LEG_NAMES: Tuple[str, str, str, str] = ("RL", "FL", "RR", "FR")
 NUM_LEGS = 4
@@ -44,12 +57,12 @@ class KinematicsConfig:
         """(4, 3) base->hip translation per leg, [RL, FL, RR, FR]."""
         x, y, z = self.hip_x, self.hip_y, self.hip_z
         return jnp.array(
-            [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=dtype
+            [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=_canon(dtype)
         )
 
     def l1_signed(self, dtype=jnp.float32):
         """(4,) l1 with the left/right sign convention (left +, right -)."""
-        return jnp.array([self.l1, self.l1, -self.l1, -self.l1], dtype=dtype)
+        return jnp.array([self.l1, self.l1, -self.l1, -self.l1], dtype=_canon(dtype))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,7 +84,7 @@ class GaitConfig:
         return self.t_stance / self.period
 
     def offsets_array(self, dtype=jnp.float32):
-        return jnp.array(self.offsets, dtype=dtype)
+        return jnp.array(self.offsets, dtype=_canon(dtype))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,8 +100,45 @@ class FootPlannerConfig:
     def hip_offsets(self, dtype=jnp.float32):
         x, y, z = self.hip_x, self.hip_y, self.hip_z
         return jnp.array(
-            [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=dtype
+            [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=_canon(dtype)
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class FootholdTrimConfig:
+    """Foothold-level heading/station regulation (opt-in extension; no
+    reference equivalent — this is the PILOT ANALOGUE).
+
+    The reference re-anchors its desired pose to the MEASURED pose every
+    tick (commander_node.cpp:399-412), so heading/cross-track drift is
+    never regulated; its backward/sideways demos are stabilized by the
+    human on the PS4 pad (teleop_ps4_walking.yaml). This regulator closes
+    the same loop the way a pilot does — through WHERE THE FEET GO, not by
+    demanding GRF yaw moments the diagonal-support trot cannot deliver
+    (the measured failure of ``heading_hold``, PARITY.md "Reverse-walking
+    anatomy"):
+
+      - a carried reference pose (x, y, yaw) integrates the COMMANDED
+        twist (cross-track projected so only heading/lateral error
+        persists, like a pilot steering relative to the path);
+      - the heading error rotates the planned foothold pattern about the
+        CoM (``yaw_gain``, clamped to ``yaw_max``) — the body aligns its
+        hips over the rotated feet during the next stance, steering
+        through stance geometry;
+      - the cross-track error shifts footholds laterally
+        (``lat_gain``/``lat_vel_gain``, clamped to ``lat_max``) — the
+        linear-inverted-pendulum pushes the CoM away from the feet, back
+        toward the path.
+
+    All corrections act at replan edges only (foothold placement), leaving
+    the GRF/MPC force budget untouched.
+    """
+
+    yaw_gain: float = 0.8     # foothold-pattern rotation per rad of heading error
+    yaw_max: float = 0.15     # clamp on the pattern rotation [rad]
+    lat_gain: float = 0.35    # foothold shift per m of cross-track error
+    lat_vel_gain: float = 0.05  # foothold shift per m/s of cross-track velocity
+    lat_max: float = 0.04     # clamp on the lateral shift [m]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,13 +172,13 @@ class BalanceConfig:
     gravity_z_term: float = -GRAVITY
 
     def inertia(self, dtype=jnp.float32):
-        return jnp.diag(jnp.array(self.inertia_diag, dtype=dtype))
+        return jnp.diag(jnp.array(self.inertia_diag, dtype=_canon(dtype)))
 
     def S(self, dtype=jnp.float32):
-        return jnp.diag(jnp.array(self.s_diag, dtype=dtype))
+        return jnp.diag(jnp.array(self.s_diag, dtype=_canon(dtype)))
 
     def W(self, dtype=jnp.float32):
-        return self.w_diag * jnp.eye(NUM_JOINTS, dtype=dtype)
+        return self.w_diag * jnp.eye(NUM_JOINTS, dtype=_canon(dtype))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -259,5 +309,5 @@ def teleop_walking_limits() -> TeleopLimits:
 def srb_params_array(cfg: BalanceConfig, dtype=np.float64):
     """Pack SRB dynamics params as a flat numpy array for scenario dumps."""
     return np.array(
-        [cfg.mass, *cfg.inertia_diag, cfg.mu, cfg.fz_min, cfg.fz_max], dtype=dtype
+        [cfg.mass, *cfg.inertia_diag, cfg.mu, cfg.fz_min, cfg.fz_max], dtype=_canon(dtype)
     )

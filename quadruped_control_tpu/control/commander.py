@@ -64,6 +64,10 @@ class CommanderCarry(NamedTuple):
     qp_x: jnp.ndarray  # (..., 12) previous primal solution
     qp_s: jnp.ndarray  # (..., 24) previous slacks
     qp_z: jnp.ndarray  # (..., 24) previous duals
+    # (..., 3) [x_ref, y_ref, yaw_ref] command-integrated reference pose for
+    # the foothold-trim regulator (None = regulator off, reference parity;
+    # init_commander_carry(ref_pose=True) allocates it).
+    ref_pose: "jnp.ndarray | None" = None
 
 
 class CommanderOutput(NamedTuple):
@@ -81,7 +85,8 @@ class CommanderOutput(NamedTuple):
     forces_horizon: "jnp.ndarray | None" = None
 
 
-def init_commander_carry(batch_shape=(), dtype=jnp.float32) -> CommanderCarry:
+def init_commander_carry(batch_shape=(), dtype=jnp.float32,
+                         ref_pose: bool = False) -> CommanderCarry:
     return CommanderCarry(
         standing=jnp.zeros(batch_shape, dtype=bool),
         gait_time=jnp.full(batch_shape, -1.0, dtype=dtype),
@@ -89,6 +94,8 @@ def init_commander_carry(batch_shape=(), dtype=jnp.float32) -> CommanderCarry:
         qp_x=jnp.zeros(batch_shape + (12,), dtype=dtype),
         qp_s=jnp.ones(batch_shape + (24,), dtype=dtype),
         qp_z=jnp.ones(batch_shape + (24,), dtype=dtype),
+        ref_pose=(jnp.zeros(batch_shape + (3,), dtype=dtype)
+                  if ref_pose else None),
     )
 
 
@@ -115,6 +122,9 @@ class CommanderPrecursors(NamedTuple):
     qdot_ref: jnp.ndarray  # (..., 4, 3)
     tau_swing: jnp.ndarray  # (..., 4, 3)
     p_start: jnp.ndarray  # (..., 4, 3) current feet in world frame
+    # Updated foothold-trim reference pose (None unless the regulator is
+    # active); commander_step carries it forward.
+    ref_pose: "jnp.ndarray | None" = None
 
 
 def commander_precursors(com: ComState, joints: JointState,
@@ -122,7 +132,8 @@ def commander_precursors(com: ComState, joints: JointState,
                          cfg: ControlConfig, *, weight_shift: float = 0.0,
                          contact_gate: float = 0.0,
                          raibert_cmd_symmetric: bool = False,
-                         heading_hold: bool = False
+                         heading_hold: bool = False,
+                         foothold_trim=None
                          ) -> CommanderPrecursors:
     """Commander steps 1-8 (SURVEY.md §3.1): FK, the standing/gait state
     machine, desired-state generation, foothold planning, swing-trajectory
@@ -177,6 +188,18 @@ def commander_precursors(com: ComState, joints: JointState,
         ride the same diagonal-support axis as the roll recovery), so the
         probe documents WHY pilot-less reverse fails rather than fixing
         it. Kept for reproducibility of that measurement.
+      foothold_trim: None disables (reference behavior). A
+        ``config.FootholdTrimConfig`` enables the foothold-level
+        heading/station regulator — the PILOT ANALOGUE for the reference's
+        human-teleoperated demos (README.md:57 backward walking is
+        PS4-piloted): heading and cross-track error, accumulated against a
+        carried command-integrated reference pose (``carry.ref_pose``,
+        allocate with ``init_commander_carry(ref_pose=True)``), are closed
+        through FOOTHOLD PLACEMENT (pattern rotation + lateral shift at
+        replan edges) instead of GRF yaw moments — the instrument class the
+        failed ``heading_hold`` probe showed the trot cannot afford. See
+        FootholdTrimConfig for the mechanism and PARITY.md
+        "Reverse-walking anatomy" for why this is the right lever.
     Returns:
       CommanderPrecursors.
     """
@@ -282,6 +305,61 @@ def commander_precursors(com: ComState, joints: JointState,
         symmetric_velocity=xdot_d if raibert_cmd_symmetric else None,
     )
 
+    # 5b. (extension, opt-in) Foothold-level heading/station regulation —
+    #     the pilot analogue (see the option docstring / FootholdTrimConfig).
+    #     Acts purely on WHERE replanned footholds go; the GRF/MPC force
+    #     budget and the re-anchored desired pose stay reference-exact.
+    new_ref = carry.ref_pose
+    if foothold_trim is not None:
+        if carry.ref_pose is None:
+            raise ValueError(
+                "foothold_trim needs carry.ref_pose — build the carry with "
+                "init_commander_carry(ref_pose=True)")
+        ft = foothold_trim
+        yaw_meas = jnp.arctan2(com.R[..., 1, 0], com.R[..., 0, 0])
+        # Anchor the reference path to the measured pose until the gait
+        # runs; from gait start it integrates the COMMANDED twist only.
+        anchored = jnp.stack(
+            [com.x[..., 0], com.x[..., 1], yaw_meas], axis=-1)
+        ref = jnp.where(wmask, carry.ref_pose, anchored)
+        rx, ry, ryaw = ref[..., 0], ref[..., 1], ref[..., 2]
+        hx, hy = jnp.cos(ryaw), jnp.sin(ryaw)
+        dx, dy = com.x[..., 0] - rx, com.x[..., 1] - ry
+        e_ct = -hy * dx + hx * dy  # cross-track error (+ = left of path)
+        v_ct = -hy * com.xdot[..., 0] + hx * com.xdot[..., 1]
+        e_yaw = yaw_meas - ryaw
+        e_yaw = jnp.arctan2(jnp.sin(e_yaw), jnp.cos(e_yaw))
+        # Pattern rotation toward the reference heading: feet placed at the
+        # CORRECTED heading pull the body's yaw back during stance.
+        delta = jnp.clip(-ft.yaw_gain * e_yaw, -ft.yaw_max, ft.yaw_max)
+        # Lateral shift toward the drift side: the LIP pushes the CoM away
+        # from the feet, back onto the path.
+        lat = jnp.clip(ft.lat_gain * e_ct + ft.lat_vel_gain * v_ct,
+                       -ft.lat_max, ft.lat_max)
+        cd, sd = jnp.cos(delta), jnp.sin(delta)
+        relx = plan.footholds[..., 0] - com.x[..., 0:1]
+        rely = plan.footholds[..., 1] - com.x[..., 1:2]
+        fx = (com.x[..., 0:1] + cd[..., None] * relx - sd[..., None] * rely
+              - (lat * hy)[..., None])
+        fy = (com.x[..., 1:2] + sd[..., None] * relx + cd[..., None] * rely
+              + (lat * hx)[..., None])
+        trimmed = jnp.stack([fx, fy, jnp.zeros_like(fx)], axis=-1)
+        plan = plan._replace(footholds=jnp.where(
+            plan.replan[..., None], trimmed, plan.footholds))
+        # Reference-pose update: slide to the along-track projection (a
+        # pilot steers relative to the path — only heading and cross-track
+        # persist; speed tracking is the command's job), then integrate the
+        # commanded twist one tick.
+        along = hx * dx + hy * dy
+        vx_c, vy_c, wz_c = (cmd_twist[..., 0], cmd_twist[..., 1],
+                            cmd_twist[..., 5])
+        walk_ref = jnp.stack([
+            rx + hx * along + dt * (hx * vx_c - hy * vy_c),
+            ry + hy * along + dt * (hy * vx_c + hx * vy_c),
+            ryaw + dt * wz_c,
+        ], axis=-1)
+        new_ref = jnp.where(wmask, walk_ref, anchored)
+
     # 6. Swing trajectory replan: p_start = world-frame current foot
     #    (commander_node.cpp:451-461).
     p_start = (
@@ -333,7 +411,7 @@ def commander_precursors(com: ComState, joints: JointState,
         walking=walking, gait=gait, eff_stance=eff_stance, R_d=R_d, x_d=x_d,
         xdot_d=xdot_d, w_d=w_d, plan=plan, traj=traj, foot_ref=foot_ref,
         q_ref=q_ref, qdot_ref=qdot_ref, tau_swing=tau_swing,
-        p_start=p_start,
+        p_start=p_start, ref_pose=new_ref,
     )
 
 
@@ -392,6 +470,7 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    contact_gate: float = 0.0,
                    raibert_cmd_symmetric: bool = False,
                    heading_hold: bool = False,
+                   foothold_trim=None,
                    gravity_comp_tau=None):
     """One control tick. All arguments broadcast over leading batch dims.
 
@@ -426,8 +505,9 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         MPC decimation: the reference-class MPC runs at 25-50 Hz while the
         loop ticks at 100-300 Hz; rollout_mpc_decimated uses this). The
         swing pipeline (footholds, trajectories, IK, PD) still runs.
-      weight_shift / contact_gate / raibert_cmd_symmetric / heading_hold:
-        opt-in extensions, documented on :func:`commander_precursors`.
+      weight_shift / contact_gate / raibert_cmd_symmetric / heading_hold /
+        foothold_trim: opt-in extensions, documented on
+        :func:`commander_precursors`.
       gravity_comp_tau: optional (..., 4, 3) leg gravity torques to add to
         the commanded torques (stance AND swing) before clamping — e.g.
         ``sim.dynamics.leg_gravity_torques(model, joints.q, com.R)``. The
@@ -447,6 +527,7 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         contact_gate=contact_gate,
         raibert_cmd_symmetric=raibert_cmd_symmetric,
         heading_hold=heading_hold,
+        foothold_trim=foothold_trim,
     )
     feet_body = pre.feet_body
     standing, gait_time, walking = pre.standing, pre.gait_time, pre.walking
@@ -560,6 +641,7 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         qp_x=sol.x,
         qp_s=sol.s,
         qp_z=sol.z,
+        ref_pose=pre.ref_pose,
     )
     out = CommanderOutput(
         torques=tau,

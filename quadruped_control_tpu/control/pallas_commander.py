@@ -804,4 +804,5 @@ def unpack_commander_carry(carry_p, batch_shape, template):
             ),
         ),
         qp_x=template.qp_x, qp_s=template.qp_s, qp_z=template.qp_z,
+        ref_pose=template.ref_pose,
     )

@@ -57,7 +57,7 @@ class RolloutResult(NamedTuple):
                                    "controller", "mpc_horizon", "mpc_dt",
                                    "mpc_iterations", "mpc_backend",
                                    "weight_shift", "cmd_schedule",
-                                   "heading_hold"))
+                                   "heading_hold", "foothold_trim"))
 def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             cfg: ControlConfig, qp_iterations: int = 12,
             qp_polish: bool = False, record: bool = True,
@@ -66,7 +66,8 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             mpc_iterations: int = 25, mpc_backend: str = "structured",
             mpc_state_weights=None, weight_shift: float = 0.0,
             cmd_schedule: bool = False,
-            heading_hold: bool = False) -> RolloutResult:
+            heading_hold: bool = False,
+            foothold_trim=None) -> RolloutResult:
     """Run ``steps`` control ticks of the closed loop.
 
     Args:
@@ -93,6 +94,10 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
     if cmd_schedule:
         assert cmd_twist.shape[0] == steps, (cmd_twist.shape, steps)
         xs = cmd_twist
+    if foothold_trim is not None and carry.ref_pose is None:
+        carry = carry._replace(
+            ref_pose=jnp.zeros(plant.com.x.shape[:-1] + (3,),
+                               dtype=plant.com.x.dtype))
 
     def body(state, cmd_t):
         cmd = cmd_t if cmd_schedule else cmd_twist
@@ -104,7 +109,7 @@ def rollout(plant: PlantState, carry: CommanderCarry, cmd_twist, steps: int,
             mpc_horizon=mpc_horizon, mpc_dt=mpc_dt,
             mpc_iterations=mpc_iterations, mpc_backend=mpc_backend,
             mpc_state_weights=mpc_state_weights, weight_shift=weight_shift,
-            heading_hold=heading_hold,
+            heading_hold=heading_hold, foothold_trim=foothold_trim,
         )
         plant_next = plant_step(
             plant_s, out.forces_world, out.gait.in_stance,
@@ -223,7 +228,10 @@ def rollout_mpc_decimated(plant: PlantState, carry: CommanderCarry,
     assert hold_mode in ("zoh", "horizon"), hold_mode
     dt = 1.0 / cfg.frequency
     if hold_mode == "horizon":
-        hold_idx = [min(int(k * dt / mpc_dt), mpc_horizon - 1)
+        # +1e-9 makes the floor deterministic at exact tick/mpc_dt
+        # boundaries (e.g. dt=1/300, mpc_dt=0.03, k=9 -> 1.0000000000000002
+        # would otherwise flip the chosen step with roundoff).
+        hold_idx = [min(int(k * dt / mpc_dt + 1e-9), mpc_horizon - 1)
                     for k in range(1, mpc_every)]
     else:
         hold_idx = [0] * (mpc_every - 1)

@@ -607,7 +607,10 @@ def rollout_whole_body_fused_decimated(plant: WholeBodyState,
     dt = tick.consts.dt
     # Static held-tick -> horizon-step map (k = 1 .. mpc_every-1).
     if hold_mode == "horizon":
-        hold_idx = [min(int(k * dt / tick.mpc_dt), tick.mpc_horizon - 1)
+        # +1e-9: deterministic floor at exact tick/mpc_dt boundaries
+        # (see control/rollout.py rollout_mpc_decimated).
+        hold_idx = [min(int(k * dt / tick.mpc_dt + 1e-9),
+                        tick.mpc_horizon - 1)
                     for k in range(1, mpc_every)]
     else:
         hold_idx = [0] * (mpc_every - 1)

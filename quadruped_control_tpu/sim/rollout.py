@@ -52,7 +52,7 @@ class WholeBodyRolloutResult(NamedTuple):
                                    "mpc_iterations", "mpc_backend",
                                    "weight_shift", "m_update",
                                    "contact_gate", "raibert_cmd_symmetric",
-                                   "heading_hold",
+                                   "heading_hold", "foothold_trim",
                                    "gravity_comp", "stepper",
                                    "cmd_schedule"))
 def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
@@ -72,6 +72,7 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        contact_gate: float = 0.0,
                        raibert_cmd_symmetric: bool = False,
                        heading_hold: bool = False,
+                       foothold_trim=None,
                        gravity_comp: bool = False,
                        stepper=None,
                        cmd_schedule: bool = False
@@ -96,6 +97,13 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
     dt = 1.0 / cfg.frequency
     if stepper is not None and n_substeps is None:
         raise ValueError("stepper= requires explicit n_substeps")
+    if foothold_trim is not None and carry.ref_pose is None:
+        # Auto-allocate the regulator's carried reference pose so existing
+        # init call sites keep working (before the scan: carry structure
+        # must be consistent across it).
+        carry = carry._replace(
+            ref_pose=jnp.zeros(plant.x.shape[:-1] + (3,),
+                               dtype=plant.x.dtype))
     xs = None
     if cmd_schedule:
         assert cmd_twist.shape[0] == steps, (cmd_twist.shape, steps)
@@ -118,6 +126,7 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
             weight_shift=weight_shift, contact_gate=contact_gate,
             raibert_cmd_symmetric=raibert_cmd_symmetric,
             heading_hold=heading_hold,
+            foothold_trim=foothold_trim,
             gravity_comp_tau=g_tau,
         )
         if stepper is not None:

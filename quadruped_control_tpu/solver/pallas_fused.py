@@ -1617,6 +1617,10 @@ def solve_balance_qp_fused(R, R_d, x, xdot, w, x_d, xdot_d, w_d,
                 args[2][idx], take(args[3]), take(args[4]), take(args[5]),
                 s_diag=tuple(cfg.s_diag), w_diag=float(cfg.w_diag),
                 iterations=0, polish=True, polish_sweeps=prox_sweeps,
+                # Forward the refine depth the phase-1/two-phase solves use
+                # so the prox stage certifies under the SAME arithmetic
+                # (tol/tau/swing_relax are the shared module defaults).
+                polish_refine=polish_refine,
                 warm=(sol.x[idx], sol.s[idx], sol.z[idx]),
                 prox_steps=prox_steps, prox_iterations=prox_iterations,
                 prox_rho=prox_rho, prox_sweeps=prox_sweeps,
@@ -1770,31 +1774,38 @@ def solve_grf_qp_tail_packed(rp, bp, stp, mup, fminp, fmaxp,
     order = jnp.argsort(conv.astype(jnp.int32), stable=True)
     idx = order[:Bt]
 
-    sol2 = solve_grf_qp_fused(
+    # Dispatch at the PACKED level so the tail solve's full diag row set is
+    # available: row 0 is the STRICT certificate, which must come from the
+    # tail solve itself — merged lanes accepted only by the loose conv flag
+    # (row 1) must not inherit an unearned strict-cert bit (round-3 advisor
+    # finding).
+    rp2, bp2, stp2, mup2, fminp2, fmaxp2 = _prep_inputs(
         r_f[idx].reshape(Bt, 4, 3), b_f[idx], st_f[idx], mu_f[idx],
-        fmin_f[idx], fmax_f[idx], s_diag=s_diag, w_diag=w_diag,
+        fmin_f[idx], fmax_f[idx], tail_rows)
+    xo2, so2, zo2, do2 = solve_grf_qp_fused_packed(
+        rp2, bp2, stp2, mup2, fminp2, fmaxp2,
+        _pack_rows(x_f[idx], N, tail_rows),
+        _pack_rows(s_f[idx], M, tail_rows),
+        _pack_rows(z_f[idx], M, tail_rows),
+        s_diag=s_diag, w_diag=w_diag,
         swing_relax=swing_relax, iterations=0, polish=True,
         polish_sweeps=tail_sweeps, polish_refine=tail_refine,
         tol=tol, tau=tau, rows=tail_rows,
-        warm=(x_f[idx], s_f[idx], z_f[idx]),
         prox_steps=tail_prox_steps, prox_iterations=tail_prox_iterations,
         prox_rho=tail_prox_rho, prox_sweeps=tail_prox_sweeps,
         interpret=interpret)
-
-    better = sol2.converged & ~conv[idx]
+    x2, s2, z2 = _unpack_rows(xo2), _unpack_rows(so2), _unpack_rows(zo2)
+    d2 = _unpack_rows(do2)
+    better = (d2[:, 1] > 0.5) & ~conv[idx]
 
     def merge(a1, a2):
         upd = better.reshape(better.shape + (1,) * (a2.ndim - 1))
         return a1.at[idx].set(jnp.where(upd, a2, a1[idx]))
 
-    x_f = merge(x_f, sol2.x)
-    s_f = merge(s_f, sol2.s)
-    z_f = merge(z_f, sol2.z)
-    d_new = jnp.stack([
-        jnp.ones_like(sol2.gap), jnp.ones_like(sol2.gap),
-        sol2.primal_residual, sol2.dual_residual, sol2.gap,
-        jnp.zeros_like(sol2.gap)], axis=-1)
-    d_f = merge(d_f, d_new)
+    x_f = merge(x_f, x2)
+    s_f = merge(s_f, s2)
+    z_f = merge(z_f, z2)
+    d_f = merge(d_f, d2)
 
     return (_pack_rows(x_f, N, rows_main), _pack_rows(s_f, M, rows_main),
             _pack_rows(z_f, M, rows_main),
