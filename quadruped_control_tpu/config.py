@@ -139,6 +139,24 @@ class FootholdTrimConfig:
     lat_gain: float = 0.35    # foothold shift per m of cross-track error
     lat_vel_gain: float = 0.05  # foothold shift per m/s of cross-track velocity
     lat_max: float = 0.04     # clamp on the lateral shift [m]
+    # Capture-point coefficient for the Raibert LIP term. The reference
+    # HALVES the classic capture gain (0.5 sqrt(z/g) xdot,
+    # foot_planner.cpp:95-96 vs Pratt's sqrt(z/g)). Measured on the
+    # full-physics reverse trot: BOOSTING it destabilizes (the velocity is
+    # sampled at LIFT-OFF, ~120 deg out of phase with touchdown for the
+    # gait-locked roll cycle) — keep 0.5 and use the roll-phase terms
+    # below instead.
+    capture_scale: float = 0.5
+    # Roll-phase foothold reflex: lateral shift (along the body y axis)
+    # = clip(roll_gain * roll + roll_vel_gain * roll_rate, +-roll_max),
+    # sampled at the replan edge. Because footholds are planned one
+    # swing-time before they act, a linear (roll, roll_rate) combination
+    # can target the touchdown phase of the trot's gait-locked roll
+    # oscillation — the damping instrument for the reverse-walking roll
+    # pump. 0 = off.
+    roll_gain: float = 0.0      # m per rad of roll
+    roll_vel_gain: float = 0.0  # m per rad/s of body roll rate
+    roll_max: float = 0.05      # clamp on the roll-reflex shift [m]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -298,11 +298,17 @@ def commander_precursors(com: ComState, joints: JointState,
         x_d = x_d.at[..., :2].add(jnp.where(wmask, shift, 0.0))
 
     # 5. Foothold planning on stance->swing edges (commander_node.cpp:436-441).
+    cap = None
+    if foothold_trim is not None:
+        cs = getattr(foothold_trim, "capture_scale", 0.5)
+        if not (isinstance(cs, float) and cs == 0.5):
+            cap = cs  # boosted stepping reflex (FootholdTrimConfig)
     plan = plan_footholds(
         carry.planner.prev_in_stance, carry.planner.initialized, gait,
         gait_cfg.t_stance, com.R, com.x, com.xdot, com.w, xdot_d, feet_body,
         cfg.foot_planner,
         symmetric_velocity=xdot_d if raibert_cmd_symmetric else None,
+        capture_scale=cap,
     )
 
     # 5b. (extension, opt-in) Foothold-level heading/station regulation —
@@ -336,13 +342,26 @@ def commander_precursors(com: ComState, joints: JointState,
         # from the feet, back onto the path.
         lat = jnp.clip(ft.lat_gain * e_ct + ft.lat_vel_gain * v_ct,
                        -ft.lat_max, ft.lat_max)
+        # Roll-phase reflex (FootholdTrimConfig.roll_gain/_vel_gain): a
+        # lateral shift along the BODY y axis from (roll, roll rate)
+        # sampled at the replan edge — phased to land where it damps the
+        # gait-locked roll oscillation at touchdown, which the lift-off-
+        # sampled capture term cannot (measured destabilizing).
+        r_g = getattr(ft, "roll_gain", 0.0)
+        rv_g = getattr(ft, "roll_vel_gain", 0.0)
+        roll = jnp.arctan2(com.R[..., 2, 1], com.R[..., 2, 2])
+        wx_b = jnp.einsum("...i,...i->...", com.R[..., :, 0], com.w)
+        lat_r = jnp.clip(r_g * roll + rv_g * wx_b,
+                         -ft.roll_max, ft.roll_max)
+        # body y axis projected to the ground plane
+        byx, byy = com.R[..., 0, 1], com.R[..., 1, 1]
         cd, sd = jnp.cos(delta), jnp.sin(delta)
         relx = plan.footholds[..., 0] - com.x[..., 0:1]
         rely = plan.footholds[..., 1] - com.x[..., 1:2]
         fx = (com.x[..., 0:1] + cd[..., None] * relx - sd[..., None] * rely
-              - (lat * hy)[..., None])
+              - (lat * hy)[..., None] + (lat_r * byx)[..., None])
         fy = (com.x[..., 1:2] + sd[..., None] * relx + cd[..., None] * rely
-              + (lat * hx)[..., None])
+              + (lat * hx)[..., None] + (lat_r * byy)[..., None])
         trimmed = jnp.stack([fx, fy, jnp.zeros_like(fx)], axis=-1)
         plan = plan._replace(footholds=jnp.where(
             plan.replan[..., None], trimmed, plan.footholds))

@@ -147,16 +147,25 @@ def _adjoint_map(A, B, Y):
     return jnp.moveaxis(outs, 0, -2)
 
 
+def _L_bcast(data: MPCStructuredData):
+    """State-weight diagonal broadcast against (..., N, NX) arrays.
+
+    ``L`` may be (NX,) or PER-INSTANCE (..., NX) — a traced batch of
+    weight diagonals (gradient tuning / weight sweeps); insert the horizon
+    axis so both broadcast."""
+    return data.L[..., None, :]
+
+
 def _hvp(data: MPCStructuredData, F):
     """H F = 2 (Bqp^T L (Bqp F) + alpha F) without materializing H."""
     dxi = _forward_map(data.A, data.B, F)
-    y = data.L * dxi
+    y = _L_bcast(data) * dxi
     return 2.0 * (_adjoint_map(data.A, data.B, y) + data.alpha * F)
 
 
 def _linear_cost(data: MPCStructuredData):
     """c = 2 Bqp^T L err0."""
-    return 2.0 * _adjoint_map(data.A, data.B, data.L * data.err0)
+    return 2.0 * _adjoint_map(data.A, data.B, _L_bcast(data) * data.err0)
 
 
 def _riccati_solve(data: MPCStructuredData, Rts, rhs, reg):
@@ -178,7 +187,9 @@ def _riccati_solve(data: MPCStructuredData, Rts, rhs, reg):
     rs = jnp.moveaxis(rhs, -2, 0)
 
     batch = rhs.shape[:-2]
-    P_end = jnp.broadcast_to(jnp.diag(Q).astype(dtype), batch + (NX, NX))
+    # diag-embed Q, which may be (NX,) or per-instance (..., NX).
+    Qd = jnp.broadcast_to(Q.astype(dtype), batch + (NX,))
+    P_end = Qd[..., :, None] * jnp.eye(NX, dtype=dtype)
     p_end = jnp.zeros(batch + (NX,), dtype)
     reg_e = reg[..., None, None] * eye_u
 
@@ -205,7 +216,7 @@ def _riccati_solve(data: MPCStructuredData, Rts, rhs, reg):
         # it is also added at t=0 but P_0 is never used — dxi_0 = 0).
         APA = jnp.einsum("...ji,...jk->...ik", A, PA)
         P_new = APA + jnp.einsum("...ji,...jk->...ik", Lux, K)
-        P_new = P_new + jnp.diag(Q).astype(dtype)
+        P_new = P_new + Qd[..., :, None] * jnp.eye(NX, dtype=dtype)
         # Symmetrize for numerical hygiene.
         P_new = 0.5 * (P_new + jnp.swapaxes(P_new, -1, -2))
         p_new = jnp.einsum("...ji,...j->...i", A, p) + \
@@ -446,8 +457,10 @@ def solve_mpc_structured(xi0, xi_ref, yaw, feet_world, x_com,
                          state_weights=None, force_weight: float = 1e-6):
     """Drop-in analogue of mpc/horizon.solve_mpc using the O(N) structured
     solver. Returns (F (..., N, 12), IPMSolution). state_weights may be a
-    TRACED (..., 13) array — the whole solve is differentiable, so MPC cost
-    weights can be tuned by gradient through closed-loop rollouts."""
+    TRACED (..., 13) array, including PER-INSTANCE batches of weight
+    diagonals — the whole solve is differentiable, so MPC cost weights can
+    be tuned by gradient through closed-loop rollouts or swept in one
+    compile (scripts/reverse_lab.py)."""
     data = build_mpc_structured(xi0, xi_ref, yaw, feet_world, x_com,
                                 stance_schedule, horizon, dt, cfg,
                                 mass=mass, inertia_diag=inertia_diag, mu=mu,

@@ -29,7 +29,7 @@ class FootholdPlan(NamedTuple):
 
 def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
                       cfg: FootPlannerConfig = FootPlannerConfig(),
-                      symmetric_velocity=None):
+                      symmetric_velocity=None, capture_scale=None):
     """World-frame footholds for all legs (reference ``singleFoot``,
     foot_planner.cpp:76-104).
 
@@ -48,6 +48,11 @@ def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
         +-10 cm foothold scatter. Passing the commanded velocity keeps the
         travel term steady while the k- and capture-point terms retain the
         measured-velocity feedback.
+      capture_scale: optional coefficient (scalar or per-instance array)
+        replacing the reference's 0.5 in the LIP capture term
+        (foot_planner.cpp:95-96 halves Pratt's sqrt(z/g) capture gain).
+        None = reference behavior. A stronger stepping reflex damps the
+        trot's lateral/roll rocking (config.FootholdTrimConfig).
     Returns:
       (..., 4, 3) footholds projected to the ground plane.
     """
@@ -64,7 +69,10 @@ def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
     # base ever fell below ground (foot_planner.cpp:95 has no guard — a
     # crashed robot is out of its envelope); batched scans here must stay
     # FINITE so one fallen scenario cannot NaN-poison a whole sweep.
-    p_lip = 0.5 * jnp.sqrt(jnp.maximum(x[..., 2:3], 0.0) / cfg.gravity) * xdot
+    cap = 0.5 if capture_scale is None else capture_scale
+    if not isinstance(cap, float):
+        cap = jnp.asarray(cap)[..., None]
+    p_lip = cap * jnp.sqrt(jnp.maximum(x[..., 2:3], 0.0) / cfg.gravity) * xdot
 
     foothold = p_thigh + (p_linear + p_lip)[..., None, :] + p_tangent
     return foothold.at[..., 2].set(0.0)
@@ -73,7 +81,8 @@ def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
 def plan_footholds(prev_in_stance, initialized, gait: Gait, t_stance, R, x,
                    xdot, w, xdot_d, foot_positions,
                    cfg: FootPlannerConfig = FootPlannerConfig(),
-                   symmetric_velocity=None) -> FootholdPlan:
+                   symmetric_velocity=None,
+                   capture_scale=None) -> FootholdPlan:
     """Edge-triggered foothold replanning (reference ``positions`` +
     ``updateStates``, foot_planner.cpp:45-74, 106-157).
 
@@ -87,7 +96,8 @@ def plan_footholds(prev_in_stance, initialized, gait: Gait, t_stance, R, x,
 
     footholds = raibert_footholds(t_stance, R, x, xdot, w, xdot_d,
                                   foot_positions, cfg,
-                                  symmetric_velocity=symmetric_velocity)
+                                  symmetric_velocity=symmetric_velocity,
+                                  capture_scale=capture_scale)
     footholds = jnp.where(replan[..., None], footholds, 0.0)
 
     return FootholdPlan(

@@ -265,13 +265,43 @@ def whole_body_step(state: WholeBodyState, tau, dt,
 
         # Semi-implicit Euler: velocity first, then pose.
         u_new = u + h * udot
+        # Post-fall poison guard (SURVEY §5 "diverged instances flagged,
+        # not fatal"): a fully fallen robot (rolled body + saturated
+        # torques + stiff compliant contact at the explicit substep rate)
+        # can take one explosive substep whose velocities then NaN the
+        # scenario's lanes a few ticks later. Two-stage guard: (1) clamp
+        # generalized velocities to a far-beyond-envelope bound (200 — the
+        # trot peaks |u| < 30) so a single hard impact cannot launch the
+        # integrator; (2) if a substep still produces a non-finite value,
+        # FREEZE that instance at its last finite state — one crashed
+        # scenario can never poison a batched sweep (the SRB surrogate's
+        # long-standing guarantee, now matched). Nominal rollouts never
+        # touch either path (bound is 6x the envelope; freeze needs a
+        # non-finite). The reference leans on Drake's implicit integrator
+        # here (drake_interface_node.cpp:184-191).
+        u_new = jnp.clip(u_new, -200.0, 200.0)
         w_new = u_new[..., :3]
         v_new = u_new[..., 3:6]
         x_new = x + h * (R @ v_new[..., None])[..., 0]
         R_new = R @ so3_exp(w_new * h)
         q_new = q + h * u_new[..., 6:].reshape(batch + (4, 3))
-        return WholeBodyState(R=R_new, x=x_new, u=u_new, q=q_new,
-                              anchor=anchor_new), None
+        ok = (
+            jnp.isfinite(u_new).all(-1)
+            & jnp.isfinite(x_new).all(-1)
+            & jnp.isfinite(R_new).all((-1, -2))
+            & jnp.isfinite(q_new).all((-1, -2))
+        )
+        okv = ok[..., None]
+        new = WholeBodyState(
+            R=jnp.where(okv[..., None], R_new, R),
+            x=jnp.where(okv, x_new, x),
+            # zeroed velocity on freeze: carrying the pre-blow-up u would
+            # re-diverge on the next substep; a frozen crash site stays put.
+            u=jnp.where(okv, u_new, jnp.zeros_like(u)),
+            q=jnp.where(okv[..., None], q_new, q),
+            anchor=jnp.where(okv[..., None], anchor_new, anchor),
+        )
+        return new, None
 
     state, _ = lax.scan(substep, state, None, length=n_substeps)
     return state

@@ -32,6 +32,27 @@ if not os.environ.get("QCT_TEST_TPU"):
 import numpy as np
 import pytest
 
+# Smoke/full tiering (VERDICT round-3 #5): these modules are the measured
+# CPU hogs — long closed-loop f64 scans and interpret-mode Pallas suites.
+# The smoke tier (`-m "not heavy"`) skips them; the full suite (no -m)
+# runs everything. Measured walls are documented in CLAUDE.md.
+HEAVY_MODULES = {
+    "test_whole_body_loop",   # full-physics closed-loop scans (minutes each)
+    "test_mpc_commander",     # MPC-in-the-loop f64 scans
+    "test_pallas_fused",      # interpret-mode fused-kernel suite (~14 min)
+    "test_pallas_substep",    # interpret-mode physics substep kernel
+    "test_pallas_tick",       # fused-tick parity (bulk already QCT_HEAVY)
+    "test_mpc_riccati",       # interpret-mode whole-horizon IPM kernel
+    "test_whole_body",        # 13-body physics oracles (energy/momentum)
+    "test_warm_start",        # cross-tick scans + the segfault-canary site
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in HEAVY_MODULES:
+            item.add_marker(pytest.mark.heavy)
+
 
 @pytest.fixture
 def rng():

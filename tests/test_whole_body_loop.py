@@ -148,6 +148,69 @@ def test_whole_body_gait_transition_scheduled():
     assert abs(rpy[0]) < 0.3 and abs(rpy[1]) < 0.3, rpy
 
 
+def test_whole_body_fwd_and_back_scheduled():
+    """The reference's FULL demo genre — forward AND BACKWARD walking at
+    0.2 m/s (README.md:57, transition_backwards.gif) — in ONE scheduled
+    full-physics rollout, PILOT-LESS.
+
+    The reference's backward demo is human-piloted (teleop_ps4_walking.
+    yaml); round 3 measured pilot-less reverse falling in 2-4 s at any
+    speed. Round 4 fixed the anatomy (PARITY.md "Reverse-walking
+    anatomy"): (1) the MPC's default pitch weight leaves a velocity-
+    dependent pitch bias (-0.33 rad in place, -0.6 in reverse) that
+    couples into roll — x20 pitch weight holds it at -0.1; (2) a
+    full-gait-cycle MPC horizon (24 x 0.02 s) pre-leans for the diagonal-
+    support windows; (3) raibert_cmd_symmetric kills foothold scatter;
+    (4) the foothold-trim regulator closes heading/cross-track through
+    stance geometry (the pilot analogue). Sustained reverse still falls
+    at ~5-6 s (trip events -> swing-leg windmill past the q2 = pi wrap);
+    the demo-genre EXCURSION below sits well inside that envelope
+    (reverse 2.5 s = 17 gait cycles; measured margins: roll 0.05 vs the
+    1.0 fall threshold, survives 3.0 s variant too)."""
+    from quadruped_control_tpu.config import (
+        FootholdTrimConfig,
+        mit_cheetah_whole_body_config,
+    )
+    from quadruped_control_tpu.control.rollout import piecewise_command
+
+    cfg = mit_cheetah_whole_body_config()
+    model = mit_cheetah_whole_body_model(cfg, dtype=DT)
+    f = cfg.frequency
+    wts = jnp.array([50.0, 1000.0, 10.0, 1.0, 1.0, 100.0,
+                     1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 0.0], DT)
+    kw = dict(controller="mpc", mpc_backend="structured", mpc_horizon=24,
+              mpc_dt=0.02, mpc_iterations=25, gravity_comp=True,
+              raibert_cmd_symmetric=True,
+              foothold_trim=FootholdTrimConfig(yaw_gain=0.6, lat_gain=0.2),
+              mpc_state_weights=wts, n_substeps=N_SUB)
+    sched = piecewise_command(
+        [(4.0, [0, 0, 0, 0, 0, 0]),
+         (3.0, [0.2, 0, 0, 0, 0, 0]),     # forward at the demo speed
+         (2.0, [0, 0, 0, 0, 0, 0]),
+         (2.5, [-0.2, 0, 0, 0, 0, 0]),    # BACKWARD at the demo speed
+         (3.0, [0, 0, 0, 0, 0, 0])], f, dtype=DT)
+    plant, carry = init_whole_body_rollout(cfg, dtype=DT)
+    res = rollout_whole_body(plant, carry, sched, sched.shape[0], cfg,
+                             model, ContactConfig(), cmd_schedule=True,
+                             **kw)
+    x = np.asarray(res.trace.x)
+    assert np.isfinite(x).all()
+    t = lambda s: int(s * f)  # noqa: E731
+    fwd = x[t(7) - 1, 0] - x[t(4), 0]
+    back = x[t(11.5) - 1, 0] - x[t(9), 0]
+    assert fwd > 0.35, fwd          # measured +0.51 m
+    assert back < -0.35, back       # measured -0.55 m
+    z = x[t(2):, 2]
+    assert abs(z - cfg.stand.height).max() < 0.04, (z.min(), z.max())
+    R = np.asarray(res.trace.R[t(2)::30])
+    rpy = np.stack([matrix_to_rpy(R[k]) for k in range(len(R))])
+    assert np.abs(rpy[:, 0]).max() < 0.15, np.abs(rpy[:, 0]).max()
+    assert np.abs(rpy[:, 1]).max() < 0.2, np.abs(rpy[:, 1]).max()
+    assert abs(rpy[-1, 2]) < 0.15, rpy[-1, 2]  # heading held, pilot-less
+    assert np.abs(x[:, 1]).max() < 0.12, np.abs(x[:, 1]).max()
+    assert bool(res.carry.standing)
+
+
 def test_whole_body_batched_scenarios():
     """Batched closed loop: scenarios evolve independently (one falling
     robot cannot poison the batch — same guarantee as the surrogate)."""
@@ -164,6 +227,30 @@ def test_whole_body_batched_scenarios():
     np.testing.assert_allclose(
         np.asarray(res.plant.x[0]), np.asarray(res.plant.x[1]), atol=1e-9
     )
+
+
+def test_whole_body_post_fall_finite():
+    """A fully fallen whole-body scenario stays FINITE forever (round-4
+    substep guard, sim/plant.py): velocity clamp + freeze-on-nonfinite.
+    Round 3 documented the engine NaN-ing ~0.3 s after a full fall
+    (PARITY.md "Beyond-envelope behavior"); now one crashed scenario can
+    never poison a batched sweep — the SRB surrogate's guarantee, matched.
+    Scenario 0 (undisturbed) must stand up normally alongside."""
+    plant, carry = init_whole_body_rollout(CFG, (2,), dtype=DT)
+    # Violent roll + lateral push: guaranteed full fall.
+    u = plant.u.at[1, 0].set(12.0).at[1, 4].set(4.0)
+    plant = plant._replace(u=u)
+    res = rollout_whole_body(plant, carry, jnp.zeros((2, 6), DT), 900,
+                             CFG, MODEL, CONTACT, n_substeps=N_SUB)
+    assert np.isfinite(np.asarray(res.trace.x)).all()
+    assert np.isfinite(np.asarray(res.plant.u)).all()
+    assert np.isfinite(np.asarray(res.plant.R)).all()
+    # The pushed scenario actually fell (not upright)...
+    assert float(res.plant.R[1, 2, 2]) < 0.9 or float(
+        res.plant.x[1, 2]) < 0.15
+    # ...while the undisturbed one stood up unaffected.
+    assert bool(res.carry.standing[0])
+    assert abs(float(res.plant.x[0, 2]) - CFG.stand.height) < 0.015
 
 
 def test_urdf_model_values_and_standup():
