@@ -308,6 +308,11 @@ def commander_precursors(com: ComState, joints: JointState,
         gait_cfg.t_stance, com.R, com.x, com.xdot, com.w, xdot_d, feet_body,
         cfg.foot_planner,
         symmetric_velocity=xdot_d if raibert_cmd_symmetric else None,
+        # symmetric_omega deliberately NOT wired to the flag: measured on
+        # full physics it does NOT fix the in-place yaw-rate overshoot
+        # (0.02 rad/s: 0.371 vs 0.321 rad over 8 s) and it would perturb
+        # the validated fwd+back trajectories; the kwarg remains on
+        # ops/foot_planner for probes.
         capture_scale=cap,
     )
 

@@ -29,7 +29,8 @@ class FootholdPlan(NamedTuple):
 
 def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
                       cfg: FootPlannerConfig = FootPlannerConfig(),
-                      symmetric_velocity=None, capture_scale=None):
+                      symmetric_velocity=None, symmetric_omega=None,
+                      capture_scale=None):
     """World-frame footholds for all legs (reference ``singleFoot``,
     foot_planner.cpp:76-104).
 
@@ -59,8 +60,15 @@ def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
     hips = cfg.hip_offsets(foot_positions.dtype)
     p_thigh = jnp.einsum("...ij,lj->...li", R, hips) + x[..., None, :]
     pcom_foot = jnp.einsum("...ij,...lj->...li", R, foot_positions)
-    tang_vel = jnp.cross(jnp.broadcast_to(w[..., None, :], pcom_foot.shape),
-                         pcom_foot)
+    # symmetric_omega (optional, mirror of symmetric_velocity): the
+    # reference's tangential term samples the MEASURED angular velocity
+    # (foot_planner.cpp:91) — feet placed ahead of the CURRENT rotation
+    # are positive feedback for an in-place turn (measured 2x yaw-rate
+    # overshoot at wz = 0.02, fall at 0.05; scripts/yaw lab, round 4).
+    # Feeding the COMMANDED rate keeps the term feed-forward.
+    w_t = w if symmetric_omega is None else symmetric_omega
+    tang_vel = jnp.cross(jnp.broadcast_to(w_t[..., None, :],
+                                          pcom_foot.shape), pcom_foot)
 
     v_sym = xdot if symmetric_velocity is None else symmetric_velocity
     p_linear = (t_stance / 2.0) * v_sym + cfg.k * (xdot - xdot_d)
@@ -81,7 +89,7 @@ def raibert_footholds(t_stance, R, x, xdot, w, xdot_d, foot_positions,
 def plan_footholds(prev_in_stance, initialized, gait: Gait, t_stance, R, x,
                    xdot, w, xdot_d, foot_positions,
                    cfg: FootPlannerConfig = FootPlannerConfig(),
-                   symmetric_velocity=None,
+                   symmetric_velocity=None, symmetric_omega=None,
                    capture_scale=None) -> FootholdPlan:
     """Edge-triggered foothold replanning (reference ``positions`` +
     ``updateStates``, foot_planner.cpp:45-74, 106-157).
@@ -97,6 +105,7 @@ def plan_footholds(prev_in_stance, initialized, gait: Gait, t_stance, R, x,
     footholds = raibert_footholds(t_stance, R, x, xdot, w, xdot_d,
                                   foot_positions, cfg,
                                   symmetric_velocity=symmetric_velocity,
+                                  symmetric_omega=symmetric_omega,
                                   capture_scale=capture_scale)
     footholds = jnp.where(replan[..., None], footholds, 0.0)
 

@@ -1773,6 +1773,7 @@ def solve_grf_qp_tail_packed(rp, bp, stp, mup, fminp, fmaxp,
                              tail_prox_rho: float = 1e-2,
                              tail_prox_sweeps: int | None = None,
                              tol: float = 3e-5, tau: float = 0.995,
+                             tail_ff: bool = False,
                              interpret: bool = False):
     """Certification tail for the IN-LOOP fused tick (VERDICT round-2 #1).
 
@@ -1834,11 +1835,14 @@ def solve_grf_qp_tail_packed(rp, bp, stp, mup, fminp, fmaxp,
         tol=tol, tau=tau, rows=tail_rows,
         prox_steps=tail_prox_steps, prox_iterations=tail_prox_iterations,
         prox_rho=tail_prox_rho, prox_sweeps=tail_prox_sweeps,
-        # Float-float refinement + the prox machinery together exceed the
-        # 16 MB scoped-VMEM ceiling at rows=16 (measured +1.18 MB); the
-        # default rows=8 tail gets the compensated certification, the
-        # rows=16 large-batch throughput variant runs plain.
-        ff_refine=(tail_rows <= 8 or tail_prox_steps == 0),
+        # tail_ff default False: float-float refinement measured
+        # TRAJECTORY-DIVERGENT in the closed loop (deterministic 600-tick
+        # trot: conv 0.9983 -> 0.9867 — slightly different tick forces
+        # land the loop in a different marginal-instance family; on FIXED
+        # problem sets the bench measures ff conv-neutral). It also
+        # cannot fit next to the prox machinery at rows=16 (16 MB scoped
+        # VMEM + 1.18 MB measured).
+        ff_refine=tail_ff and (tail_rows <= 8 or tail_prox_steps == 0),
         interpret=interpret)
     x2, s2, z2 = _unpack_rows(xo2), _unpack_rows(so2), _unpack_rows(zo2)
     d2 = _unpack_rows(do2)

@@ -229,6 +229,98 @@ def test_whole_body_batched_scenarios():
     )
 
 
+def _r4_operating_point(cfg):
+    """The round-4 demo operating point (see
+    test_whole_body_fwd_and_back_scheduled): x20 MPC pitch weight,
+    full-gait-cycle horizon, symmetric Raibert travel, foothold trim."""
+    from quadruped_control_tpu.config import FootholdTrimConfig
+
+    wts = jnp.array([50.0, 1000.0, 10.0, 1.0, 1.0, 100.0,
+                     1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 0.0], DT)
+    return dict(controller="mpc", mpc_backend="structured", mpc_horizon=24,
+                mpc_dt=0.02, mpc_iterations=25, gravity_comp=True,
+                raibert_cmd_symmetric=True,
+                foothold_trim=FootholdTrimConfig(yaw_gain=0.6,
+                                                 lat_gain=0.2),
+                mpc_state_weights=wts, n_substeps=N_SUB)
+
+
+def test_whole_body_sideways():
+    """Sideways walking at the reference's published 0.1 m/s
+    (README.md:63, teleop vy limit) on FULL physics: tracked to 1%,
+    upright, height held — measured vy 0.101, |roll|max 0.088 under the
+    round-4 operating point (the round-3 OP also survives but with a
+    0.46 rad pitch bias and vy 25% high)."""
+    from quadruped_control_tpu.config import mit_cheetah_whole_body_config
+
+    cfg = mit_cheetah_whole_body_config()
+    model = mit_cheetah_whole_body_model(cfg, dtype=DT)
+    kw = _r4_operating_point(cfg)
+    plant, carry = init_whole_body_rollout(cfg, dtype=DT)
+    res = rollout_whole_body(plant, carry, jnp.zeros(6, DT), 900, cfg,
+                             model, CONTACT, **kw)
+    assert bool(res.carry.standing)
+    f = cfg.frequency
+    cmd = jnp.zeros(6, DT).at[1].set(0.1)
+    r2 = rollout_whole_body(res.plant, res.carry, cmd, int(8 * f), cfg,
+                            model, CONTACT, **kw)
+    x = np.asarray(r2.trace.x)
+    assert np.isfinite(x).all()
+    vy = (x[-1, 1] - x[int(f), 1]) / 7.0
+    assert 0.07 < vy < 0.13, vy
+    assert abs(x[:, 2] - cfg.stand.height).max() < 0.04
+    # fore-aft crab drift bounded (measured -0.031 m/s)
+    assert abs(x[-1, 0] - x[int(f), 0]) / 7.0 < 0.06
+    R = np.asarray(r2.trace.R[::30])
+    rpy = np.stack([matrix_to_rpy(R[k]) for k in range(len(R))])
+    assert np.abs(rpy[:, 0]).max() < 0.2, np.abs(rpy[:, 0]).max()
+    assert np.abs(rpy[:, 1]).max() < 0.2, np.abs(rpy[:, 1]).max()
+
+
+def test_whole_body_yaw_in_place():
+    """Turning in place on FULL physics: commanded wz = 0.02 rad/s for
+    8 s turns the robot in the commanded direction, upright, height held.
+
+    Measured envelope (round-4 yaw labs): the in-place turn runs ~2x the
+    commanded rate (yaw is rate-commanded with the desired pose
+    re-anchored every tick, commander_node.cpp:399-412 — there is no
+    absolute heading loop to trim the gait's own yaw impulses; the
+    foothold-trim yaw channel is too weak to close the gap in place), and
+    wz = 0.05 in place is measurably UNSTABLE on the whole-body engine
+    under every instrument tried (trim gains, MPC yaw weight x10,
+    symmetric tangential term). The reference's published "0.05 rad/s"
+    (README.md:63) is its teleop CLAMP (teleop_ps4_walking.yaml), driven
+    by a human — not a validated autonomous operating point; the SRB
+    surrogate tracks it (tests/test_rollout.py::test_walk_yaw_*)."""
+    from quadruped_control_tpu.config import mit_cheetah_whole_body_config
+
+    cfg = mit_cheetah_whole_body_config()
+    model = mit_cheetah_whole_body_model(cfg, dtype=DT)
+    kw = _r4_operating_point(cfg)
+    plant, carry = init_whole_body_rollout(cfg, dtype=DT)
+    res = rollout_whole_body(plant, carry, jnp.zeros(6, DT), 900, cfg,
+                             model, CONTACT, **kw)
+    assert bool(res.carry.standing)
+    f = cfg.frequency
+    cmd = jnp.zeros(6, DT).at[5].set(0.02)
+    r2 = rollout_whole_body(res.plant, res.carry, cmd, int(8 * f), cfg,
+                            model, CONTACT, **kw)
+    x = np.asarray(r2.trace.x)
+    assert np.isfinite(x).all()
+    R = np.asarray(r2.trace.R[::30])
+    rpy = np.stack([matrix_to_rpy(R[k]) for k in range(len(R))])
+    # turned in the commanded direction (>= commanded 0.16 rad; the
+    # measured ~2x rate overshoot is documented above)
+    assert 0.12 < rpy[-1, 2] < 0.6, rpy[-1, 2]
+    assert np.abs(rpy[:, 0]).max() < 0.35, np.abs(rpy[:, 0]).max()
+    assert abs(x[:, 2] - cfg.stand.height).max() < 0.04
+    # station drift bounded (measured ~0.25 m over 8 s — position is
+    # UNREGULATED by design: the desired pose re-anchors to measured
+    # every tick, commander_node.cpp:399-412; the trim's cross-track
+    # channel only trims the path-lateral direction)
+    assert np.abs(x[:, :2]).max() < 0.4, np.abs(x[:, :2]).max()
+
+
 def test_whole_body_post_fall_finite():
     """A fully fallen whole-body scenario stays FINITE forever (round-4
     substep guard, sim/plant.py): velocity clamp + freeze-on-nonfinite.
