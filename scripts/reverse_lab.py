@@ -46,7 +46,7 @@ from quadruped_control_tpu.sim.plant import (  # noqa: E402
 )
 
 DT64 = jnp.float64
-N_SUB = 10
+N_SUB = int(os.environ.get("QCT_LAB_NSUB", 10))
 CTRL = os.environ.get("QCT_LAB_CTRL", "mpc")
 MPC_KW = dict(controller=CTRL, mpc_backend="structured",
               mpc_horizon=int(os.environ.get("QCT_LAB_HOR", 8)),
@@ -64,12 +64,21 @@ def main():
     swh = float(os.environ.get("QCT_LAB_SWH", cfg.gait.swing_height))
     kpl = float(os.environ.get("QCT_LAB_K", cfg.foot_planner.k))
     sh = float(os.environ.get("QCT_LAB_H", cfg.stand.height))
+    jc = cfg.joint_control
+    if "QCT_LAB_KP" in os.environ or "QCT_LAB_KD" in os.environ:
+        from quadruped_control_tpu.config import JointControlConfig
+        kpv = [float(v) for v in os.environ.get(
+            "QCT_LAB_KP", "80,80,100").split(",")]
+        kdv = [float(v) for v in os.environ.get(
+            "QCT_LAB_KD", "2,2,2").split(",")]
+        jc = JointControlConfig(kp=tuple(kpv), kd=tuple(kdv))
     cfg = dataclasses.replace(
         cfg,
         gait=dataclasses.replace(cfg.gait, t_stance=tst, t_swing=tsw,
                                  swing_height=swh),
         foot_planner=dataclasses.replace(cfg.foot_planner, k=kpl),
-        stand=dataclasses.replace(cfg.stand, height=sh))
+        stand=dataclasses.replace(cfg.stand, height=sh),
+        joint_control=jc)
     which = os.environ.get("QCT_LAB_MODEL", "synth")
     model = (mit_cheetah_urdf_model(cfg, dtype=DT64) if which == "urdf"
              else mit_cheetah_whole_body_model(cfg, dtype=DT64))

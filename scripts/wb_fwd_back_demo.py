@@ -12,10 +12,17 @@ scheduled): x20 MPC pitch weight, full-gait-cycle horizon (24 x 0.02 s),
 symmetric Raibert travel term, and the foothold-trim heading/station
 regulator (config.FootholdTrimConfig — the pilot analogue).
 
+Default substrate: the URDF-TRUE inertials (mit_cheetah_urdf_model —
+what the reference's Drake sim loads) with the reference's OWN joint
+gains; measured the steadiest configuration (height +-1 mm, |roll| 0.04;
+tests/test_whole_body_loop.py::test_whole_body_fwd_and_back_urdf).
+--synth runs the synthesized-inertials robustness variant instead.
+
 Usage: PYTHONPATH="$PYTHONPATH:." python scripts/wb_fwd_back_demo.py \
-           [out_dir] [--animate] [--cpu]
+           [out_dir] [--animate] [--cpu] [--synth]
 """
 
+import dataclasses
 import os
 import sys
 
@@ -31,23 +38,34 @@ import jax.numpy as jnp
 
 from quadruped_control_tpu.config import (
     FootholdTrimConfig,
+    JointControlConfig,
     mit_cheetah_whole_body_config,
 )
 from quadruped_control_tpu.control.rollout import piecewise_command
 from quadruped_control_tpu.sim import (
     ContactConfig,
     init_whole_body_rollout,
+    mit_cheetah_urdf_model,
     mit_cheetah_whole_body_model,
     rollout_whole_body,
 )
 from quadruped_control_tpu.utils.viz import animate_rollout, plot_rollout
 
 
-def main(out_dir="/tmp/wb_fwd_back_demo", animate=False):
+def main(out_dir="/tmp/wb_fwd_back_demo", animate=False, synth=False):
     os.makedirs(out_dir, exist_ok=True)
     cfg = mit_cheetah_whole_body_config()
     dtype = jnp.float64 if jnp.zeros(()).dtype == jnp.float64 else jnp.float32
-    model = mit_cheetah_whole_body_model(cfg, dtype=dtype)
+    if synth:
+        model = mit_cheetah_whole_body_model(cfg, dtype=dtype)
+    else:
+        # URDF-true inertials take the reference's own joint gains — the
+        # whole-body config's stiffened swing PD is tuned for the heavy
+        # synthesized rod legs and overdrives the URDF's 2.4x-lighter
+        # distal links (measured: falls at 6-9 s; reference gains hold
+        # height +-1 mm).
+        cfg = dataclasses.replace(cfg, joint_control=JointControlConfig())
+        model = mit_cheetah_urdf_model(cfg, dtype=dtype)
     f = cfg.frequency
     wts = jnp.array([50.0, 1000.0, 10.0, 1.0, 1.0, 100.0,
                      1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 0.0], dtype)
@@ -85,5 +103,7 @@ def main(out_dir="/tmp/wb_fwd_back_demo", animate=False):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a not in ("--animate", "--cpu")]
-    main(*argv, animate="--animate" in sys.argv)
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--animate", "--cpu", "--synth")]
+    main(*argv, animate="--animate" in sys.argv,
+         synth="--synth" in sys.argv)

@@ -108,14 +108,13 @@ def test_whole_body_gait_transition_scheduled():
     stand — speed-up AND slow-down transitions surviving closed loop.
 
     Runs on the SYNTHESIZED model (the round-2 robustness-swept
-    substrate): command transitions cross the measured low-speed
-    instability band (~0.05-0.15 m/s, PARITY.md "Reverse-walking
-    anatomy"), which the synthesized model's heavier legs damp — the
-    URDF-true model is steadier in steady state but falls at this 0->0.2
-    step. The full fwd-AND-REVERSE demo (README.md:57) runs on the SRB
-    surrogate (tests/test_rollout.py::test_gait_transition_fwd_and_back);
-    pilot-less full-physics REVERSE is measurably unstable in
-    heading/roll — the reference's own backward demo is human-piloted."""
+    substrate) at the ROUND-3 operating point — kept as the continuity/
+    robustness variant. Round 4 superseded the flagship: the URDF-true
+    model with the reference's own joint gains runs the full fwd-AND-BACK
+    demo steadier than this (test_whole_body_fwd_and_back_urdf; the
+    round-3 'URDF falls at the 0->0.2 step' was a swing-PD gain mismatch,
+    PARITY.md "Model fidelity"), and pilot-less full-physics REVERSE
+    excursions now work (test_whole_body_fwd_and_back_scheduled)."""
     from quadruped_control_tpu.config import mit_cheetah_whole_body_config
     from quadruped_control_tpu.control.rollout import piecewise_command
 
@@ -227,6 +226,64 @@ def test_whole_body_batched_scenarios():
     np.testing.assert_allclose(
         np.asarray(res.plant.x[0]), np.asarray(res.plant.x[1]), atol=1e-9
     )
+
+
+def test_whole_body_fwd_and_back_urdf():
+    """The flagship demo on the URDF-TRUE model (VERDICT round-3 #2):
+    the reference's fwd-AND-back genre, pilot-less, on the published
+    Mini Cheetah inertials — with the reference's OWN joint gains.
+
+    Round 3's 'URDF model falls at the 0->0.2 step' was a GAIN MISMATCH,
+    not a model deficiency: mit_cheetah_whole_body_config stiffens the
+    swing PD (kp 80/80/100, kd 2) for the synthesized model's heavy rod
+    legs, which OVERDRIVES the URDF's hip-concentrated, 2.4x-lighter
+    distal legs (measured: falls at 6-9 s forward; kd 4 falls in 0.3 s).
+    With the reference's gains (40/40/50, kd 1 — tuned for the real URDF
+    that Drake simulates, mit_cheetah_config.yaml:50-53) + the round-4
+    operating point, the URDF model is the STEADIEST substrate measured:
+    height band +-1 mm (synthesized: +-3 mm), |roll|max 0.042
+    (synthesized 0.05), |pitch|max 0.022 post-stand-up, post-stop drift
+    1 cm. Ref: drake_interface_node.cpp:184-191 (the reference simulates
+    the real URDF, not a synthesized stand-in)."""
+    import dataclasses
+
+    from quadruped_control_tpu.config import (
+        JointControlConfig,
+        mit_cheetah_whole_body_config,
+    )
+    from quadruped_control_tpu.control.rollout import piecewise_command
+    from quadruped_control_tpu.sim import mit_cheetah_urdf_model
+
+    cfg = dataclasses.replace(mit_cheetah_whole_body_config(),
+                              joint_control=JointControlConfig())
+    model = mit_cheetah_urdf_model(cfg, dtype=DT)
+    kw = _r4_operating_point(cfg)
+    f = cfg.frequency
+    sched = piecewise_command(
+        [(4.0, [0, 0, 0, 0, 0, 0]),
+         (3.0, [0.2, 0, 0, 0, 0, 0]),
+         (2.0, [0, 0, 0, 0, 0, 0]),
+         (2.5, [-0.2, 0, 0, 0, 0, 0]),
+         (3.0, [0, 0, 0, 0, 0, 0])], f, dtype=DT)
+    plant, carry = init_whole_body_rollout(cfg, dtype=DT)
+    res = rollout_whole_body(plant, carry, sched, sched.shape[0], cfg,
+                             model, ContactConfig(), cmd_schedule=True,
+                             **kw)
+    x = np.asarray(res.trace.x)
+    assert np.isfinite(x).all()
+    t = lambda s: int(s * f)  # noqa: E731
+    fwd = x[t(7) - 1, 0] - x[t(4), 0]
+    back = x[t(11.5) - 1, 0] - x[t(9), 0]
+    assert fwd > 0.4, fwd           # measured +0.602 m
+    assert back < -0.35, back       # measured -0.519 m
+    z = x[t(3):, 2]
+    assert abs(z - cfg.stand.height).max() < 0.02, (z.min(), z.max())
+    R = np.asarray(res.trace.R[t(3)::30])
+    rpy = np.stack([matrix_to_rpy(R[k]) for k in range(len(R))])
+    assert np.abs(rpy[:, 0]).max() < 0.1, np.abs(rpy[:, 0]).max()
+    assert np.abs(rpy[:, 1]).max() < 0.1, np.abs(rpy[:, 1]).max()
+    assert abs(rpy[-1, 2]) < 0.1, rpy[-1, 2]
+    assert bool(res.carry.standing)
 
 
 def _r4_operating_point(cfg):
