@@ -80,6 +80,10 @@ def main():
         stand=dataclasses.replace(cfg.stand, height=sh),
         joint_control=jc)
     which = os.environ.get("QCT_LAB_MODEL", "synth")
+    if which == "urdfref":
+        from quadruped_control_tpu.config import JointControlConfig
+        cfg = dataclasses.replace(cfg, joint_control=JointControlConfig())
+        which = "urdf"
     model = (mit_cheetah_urdf_model(cfg, dtype=DT64) if which == "urdf"
              else mit_cheetah_whole_body_model(cfg, dtype=DT64))
     contact = ContactConfig()
