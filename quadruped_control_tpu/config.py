@@ -20,6 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_warned_canon = False
+
+
 def _canon(dtype):
     """Canonicalize a requested dtype to what the runtime supports.
 
@@ -27,8 +30,22 @@ def _canon(dtype):
     from f32-only contexts (the multichip dryrun, TPU drivers); an explicit
     float64 request without x64 enabled makes every jnp.array call emit a
     truncation UserWarning (it spams the official MULTICHIP artifacts).
-    Canonicalizing first keeps the same numerics, silently."""
-    return jax.dtypes.canonicalize_dtype(dtype)
+    Canonicalizing first keeps the same numerics — but a genuine caller
+    mistake (a script expecting f64 oracle precision without enabling
+    jax_enable_x64) should not be silent either (round-4 advisor), so the
+    first actual downgrade in a process warns ONCE."""
+    canon = jax.dtypes.canonicalize_dtype(dtype)
+    global _warned_canon
+    if not _warned_canon and canon != jnp.dtype(dtype):
+        _warned_canon = True
+        import warnings
+
+        warnings.warn(
+            f"config: requested dtype {jnp.dtype(dtype).name} canonicalized "
+            f"to {canon.name} (jax_enable_x64 is off). Enable x64 if you "
+            "wanted float64 oracle precision. (Warned once per process.)",
+            stacklevel=3)
+    return canon
 
 
 LEG_NAMES: Tuple[str, str, str, str] = ("RL", "FL", "RR", "FR")

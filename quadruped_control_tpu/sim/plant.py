@@ -290,6 +290,11 @@ def whole_body_step(state: WholeBodyState, tau, dt,
             & jnp.isfinite(x_new).all(-1)
             & jnp.isfinite(R_new).all((-1, -2))
             & jnp.isfinite(q_new).all((-1, -2))
+            # anchor too (round-4 advisor): otherwise a non-finite contact
+            # anchor can be committed on a substep whose other state is
+            # still finite, and the freeze then latches one substep late
+            # with a poisoned anchor.
+            & jnp.isfinite(anchor_new).all((-1, -2))
         )
         okv = ok[..., None]
         new = WholeBodyState(

@@ -1794,6 +1794,19 @@ def solve_grf_qp_tail_packed(rp, bp, stp, mup, fminp, fmaxp,
     ``B % (tail_rows * 128) == 0`` (any main-kernel rows >= tail_rows
     satisfies this). Returns updated packed (x, s, z, diag).
     """
+    if tail_ff and tail_rows > 8 and tail_prox_steps > 0:
+        # Make the config downgrade VISIBLE (round-4 advisor): the ff
+        # scratch cannot fit next to the prox machinery above rows=8
+        # (16 MB scoped VMEM + 1.18 MB measured overrun), so ff_refine is
+        # forced off below rather than OOM-ing the kernel.
+        import warnings
+
+        warnings.warn(
+            "tail_ff=True requested with tail_rows="
+            f"{tail_rows} > 8 and prox_steps={tail_prox_steps} > 0: "
+            "float-float refinement is force-disabled (scoped-VMEM "
+            "ceiling). Use tail_rows<=8 or prox_steps=0 to keep it.",
+            stacklevel=2)
     rows_main = rp.shape[2]
     B = rp.shape[0] * rows_main * LANE
     tile2 = tail_rows * LANE
