@@ -182,6 +182,47 @@ def main():
     conv_frac = float(jnp.mean(conv.astype(jnp.float32)))
     log(f"batch {BATCH}, {dt * 1e3:.1f} ms/solve-batch, conv frac {conv_frac:.4f}")
 
+    # Certify the tail instead of adjectiving it (VERDICT round-4 #5): for
+    # every instance whose loose conv flag failed, compare against the f64
+    # oracle and certify whether the f32 answer is OBJECTIVE-OPTIMAL (the
+    # flat-valley family: Q's only null-space curvature is the w_diag
+    # regularizer, so the KKT flag can fail while the objective is already
+    # at the certification tolerance). Host-side, after timing; never
+    # affects the headline protocol.
+    n_cert_flat = n_uncert = -1
+    try:
+        from quadruped_control_tpu.solver.reference import certify_flatness
+
+        bad = np.flatnonzero(~np.asarray(conv))
+        n_uncert = bad.size
+        if 0 < n_uncert <= 128:
+            scen_bad = jax.tree.map(
+                lambda a: a[bad] if a is not None else None, scen)
+            qp_bad = assemble_qp_batch(scen_bad, cfg)
+            certs, _, _ = certify_flatness(
+                np.asarray(qp_bad.Q), np.asarray(qp_bad.c),
+                np.asarray(qp_bad.G), np.asarray(qp_bad.h),
+                np.asarray(x, np.float64)[bad],
+                np.asarray(scen.stance)[bad],
+                cfg.balance.fz_min, cfg.balance.fz_max)
+            n_cert_flat = sum(c.flat for c in certs)
+            worst = max((abs(c.obj_rel_gap) for c in certs), default=0.0)
+            weak = sum(c.n_weak_active > 0 for c in certs)
+            conv_cert = (BATCH - n_uncert + n_cert_flat) / BATCH
+            log(f"tail certificates: {n_uncert} KKT-unflagged -> "
+                f"{n_cert_flat} certified objective-optimal vs f64 oracle "
+                f"(<=1e-6 rel; worst gap {worst:.1e}; {weak} with weakly-"
+                f"active oracle rows) -> conv decomposition "
+                f"{conv_frac:.4f} flagged + "
+                f"{n_cert_flat / BATCH:.4f} certified = {conv_cert:.4f}")
+        elif n_uncert == 0:
+            log("tail certificates: all instances KKT-flagged converged")
+        else:
+            log(f"tail certificates skipped: {n_uncert} unconverged "
+                "(>128; not the expected handful — investigate)")
+    except Exception as e:  # host-side diagnostics must never block bench
+        log(f"tail certification skipped: {e}")
+
     # Objective parity vs the float64 active-set oracle on a subsample.
     try:
         from quadruped_control_tpu.solver.reference import solve_qp_batch_oracle
@@ -204,11 +245,30 @@ def main():
         obj = 0.5 * np.einsum("bi,bij,bj->b", xs, Qd, xs) + \
             np.einsum("bi,bi->b", cd, xs)
         rel = np.abs(obj - obj_star) / (1.0 + np.abs(obj_star))
+        fdiff = np.abs(xs - x_star).max(-1)
         log(f"oracle parity (n={n_check}): obj rel p50 {np.median(rel):.2e} "
-            f"max {rel.max():.2e}; force diff max "
-            f"{np.abs(xs - x_star).max():.2e} N (N-scale force diffs at "
-            "1e-8 objective parity are the degenerate 4-stance family's "
-            "optimal-set multiplicity, not an error — see ROADMAP)")
+            f"max {rel.max():.2e}; force diff max {fdiff.max():.2e} N")
+        big = np.flatnonzero(fdiff > 1.0)
+        if big.size:
+            # Certify the N-scale force diffs as flat-valley displacement
+            # (not an error): the moved direction's curvature must equal
+            # the (tiny) objective gap — see solver/reference.py
+            # FlatnessCertificate.
+            from quadruped_control_tpu.solver.reference import (
+                certify_flatness,
+            )
+
+            certs, _, _ = certify_flatness(
+                np.asarray(qp.Q)[big], np.asarray(qp.c)[big],
+                np.asarray(qp.G)[big], np.asarray(qp.h)[big],
+                xs[big], np.asarray(stance)[idx][big],
+                cfg.balance.fz_min, cfg.balance.fz_max)
+            nflat = sum(cc.flat for cc in certs)
+            log(f"  force-diff certificates: {big.size} instances >1 N, "
+                f"{nflat} certified flat (obj gap <=1e-6; curvature along "
+                f"the displacement "
+                + ", ".join(f"{cc.curv_rel:.1e}" for cc in certs[:4])
+                + ("..." if big.size > 4 else "") + ")")
         parity_ok = float(np.median(rel) < 1e-6)
     except Exception as e:  # oracle is host-side float64; never block bench
         log(f"oracle check skipped: {e}")

@@ -174,6 +174,20 @@ class FootholdTrimConfig:
     roll_gain: float = 0.0      # m per rad of roll
     roll_vel_gain: float = 0.0  # m per rad/s of body roll rate
     roll_max: float = 0.05      # clamp on the roll-reflex shift [m]
+    # Absolute-heading desired-pose servo (round 5; VERDICT round-4 #2).
+    # 0 = reference behavior: the desired yaw RE-ANCHORS to measured +
+    # wz*dt every tick (commander_node.cpp:399-412), so commanded wz is
+    # never servoed — measured: in-place turns run ~2x the commanded
+    # rate (the gait's own yaw impulses are unopposed) and yaw is
+    # absorbed entirely while walking. >0 = the desired yaw pulls toward
+    # the SAME carried reference heading the foothold trim integrates
+    # (``carry.ref_pose[..., 2]``), with the pull clamped to this many
+    # rad beyond measured — so the GRF/MPC yaw moment and the foothold
+    # pattern rotation servo ONE consistent heading. (The round-3
+    # ``heading_hold`` probe failed with a similar lead but no foothold
+    # channel and no round-4 operating point; the combination is what
+    # works — see PARITY.md "Yaw authority".)
+    heading_lead: float = 0.0   # rad of desired-yaw lead beyond measured
 
 
 @dataclasses.dataclass(frozen=True)
@@ -339,6 +353,54 @@ class TeleopLimits:
 
 def teleop_walking_limits() -> TeleopLimits:
     return TeleopLimits()
+
+
+@dataclasses.dataclass(frozen=True)
+class StanceTeleopLimits:
+    """Stance-mode commanded-rate scaling (the reference's PS4 stance
+    preset, teleop_ps4_stance.yaml:5-14: linear z scale 0.5, angular
+    roll/pitch/yaw scale 0.5 — the body-posing demo envelope,
+    media body_control.gif / stance.gif).
+
+    In stance mode the twist channels are RATES of the desired body pose:
+    ``vz`` moves the stand height, ``wx/wy/wz`` move desired
+    roll/pitch/yaw (commander ``stance_pose`` option)."""
+
+    vz: float = 0.5
+    wx: float = 0.5
+    wy: float = 0.5
+    wz: float = 0.5
+
+    def clamp(self, twist):
+        """Clamp a (..., 6) stance-rate command to the teleop envelope."""
+        lim = jnp.array([0.0, 0.0, self.vz, self.wx, self.wy, self.wz],
+                        dtype=twist.dtype)
+        return jnp.clip(twist, -lim, lim)
+
+
+def teleop_stance_limits() -> StanceTeleopLimits:
+    return StanceTeleopLimits()
+
+
+@dataclasses.dataclass(frozen=True)
+class StancePoseConfig:
+    """Body-pose integrator limits for the commander's ``stance_pose``
+    mode (the reference's stance body-posing demo genre: roll/pitch/yaw/
+    height on the PS4 stance mapping, teleop_ps4_stance.yaml:5-14,
+    media body_control.gif / stance.gif).
+
+    Commanded rates integrate into a carried desired pose
+    ``[roll, pitch, yaw, dz]`` (dz relative to ``StandConfig.height``),
+    clamped to these bounds; the balance QP then tracks the posed
+    ``R_d``/``x_d`` on all-stance support. Bounds sized to the Mini
+    Cheetah's leg reach at the 0.26 m stand (0.30 m is near full
+    extension; 0.18 m is the deep crouch the stand-up passes through)."""
+
+    roll_max: float = 0.3
+    pitch_max: float = 0.3
+    yaw_max: float = 0.5
+    dz_min: float = -0.08
+    dz_max: float = 0.045
 
 
 def srb_params_array(cfg: BalanceConfig, dtype=np.float64):

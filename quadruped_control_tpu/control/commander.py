@@ -68,6 +68,10 @@ class CommanderCarry(NamedTuple):
     # the foothold-trim regulator (None = regulator off, reference parity;
     # init_commander_carry(ref_pose=True) allocates it).
     ref_pose: "jnp.ndarray | None" = None
+    # (..., 4) [roll, pitch, yaw, dz] rate-integrated desired body pose for
+    # the stance_pose body-posing mode (None = mode off;
+    # init_commander_carry(pose_cmd=True) allocates it).
+    pose_cmd: "jnp.ndarray | None" = None
 
 
 class CommanderOutput(NamedTuple):
@@ -86,7 +90,8 @@ class CommanderOutput(NamedTuple):
 
 
 def init_commander_carry(batch_shape=(), dtype=jnp.float32,
-                         ref_pose: bool = False) -> CommanderCarry:
+                         ref_pose: bool = False,
+                         pose_cmd: bool = False) -> CommanderCarry:
     return CommanderCarry(
         standing=jnp.zeros(batch_shape, dtype=bool),
         gait_time=jnp.full(batch_shape, -1.0, dtype=dtype),
@@ -96,6 +101,8 @@ def init_commander_carry(batch_shape=(), dtype=jnp.float32,
         qp_z=jnp.ones(batch_shape + (24,), dtype=dtype),
         ref_pose=(jnp.zeros(batch_shape + (3,), dtype=dtype)
                   if ref_pose else None),
+        pose_cmd=(jnp.zeros(batch_shape + (4,), dtype=dtype)
+                  if pose_cmd else None),
     )
 
 
@@ -125,6 +132,8 @@ class CommanderPrecursors(NamedTuple):
     # Updated foothold-trim reference pose (None unless the regulator is
     # active); commander_step carries it forward.
     ref_pose: "jnp.ndarray | None" = None
+    # Updated stance-pose integrator state (None unless stance_pose).
+    pose_cmd: "jnp.ndarray | None" = None
 
 
 def commander_precursors(com: ComState, joints: JointState,
@@ -133,7 +142,11 @@ def commander_precursors(com: ComState, joints: JointState,
                          contact_gate: float = 0.0,
                          raibert_cmd_symmetric: bool = False,
                          heading_hold: bool = False,
-                         foothold_trim=None
+                         foothold_trim=None,
+                         swing_vel_rescale: bool = False,
+                         swing_accel_ff: bool = False,
+                         swing_mass=None,
+                         stance_pose=False
                          ) -> CommanderPrecursors:
     """Commander steps 1-8 (SURVEY.md §3.1): FK, the standing/gait state
     machine, desired-state generation, foothold planning, swing-trajectory
@@ -221,6 +234,12 @@ def commander_precursors(com: ComState, joints: JointState,
         gait_running, carry.gait_time + dt,
         jnp.where(standing, jnp.zeros_like(carry.gait_time), carry.gait_time),
     )
+    if stance_pose is not False and stance_pose is not None:
+        # Stance body-posing mode (the reference's balance-controller demo
+        # genre, teleop_ps4_stance.yaml / media body_control.gif): the
+        # gait clock NEVER starts — all legs stay in stance support and
+        # the balance QP tracks the pose integrator (step 3b below).
+        gait_time = carry.gait_time
     walking = gait_time >= 0.0
 
     # 3. Desired CoM state: stand target, or integrated twist when walking
@@ -253,6 +272,34 @@ def commander_precursors(com: ComState, joints: JointState,
             jnp.stack([sy, cy, zr], axis=-1),
             jnp.stack([zr, zr, on], axis=-1),
         ], axis=-2)
+    hl = (getattr(foothold_trim, "heading_lead", 0.0)
+          if foothold_trim is not None else 0.0)
+    heading_servo = not (isinstance(hl, float) and hl == 0.0)
+    if heading_servo:
+        # Absolute-heading desired yaw (FootholdTrimConfig.heading_lead):
+        # servo toward the trim regulator's carried reference heading
+        # (integrated from the COMMANDED wz, step 5b) instead of
+        # re-anchoring to measured every tick — the GRF/MPC yaw channel
+        # and the foothold pattern rotation then pull the SAME target.
+        if carry.ref_pose is None:
+            raise ValueError(
+                "heading_lead needs carry.ref_pose — build the carry with "
+                "init_commander_carry(ref_pose=True)")
+        yaw_meas_h = jnp.arctan2(com.R[..., 1, 0], com.R[..., 0, 0])
+        yaw_tgt = jnp.where(walking,
+                            carry.ref_pose[..., 2] + cmd_twist[..., 5] * dt,
+                            yaw_meas_h)
+        e_h = yaw_tgt - yaw_meas_h
+        e_h = jnp.arctan2(jnp.sin(e_h), jnp.cos(e_h))
+        yaw_d = yaw_meas_h + jnp.clip(e_h, -hl, hl)
+        cy, sy = jnp.cos(yaw_d), jnp.sin(yaw_d)
+        zr = jnp.zeros_like(cy)
+        on = jnp.ones_like(cy)
+        R_d_walk = jnp.stack([
+            jnp.stack([cy, -sy, zr], axis=-1),
+            jnp.stack([sy, cy, zr], axis=-1),
+            jnp.stack([zr, zr, on], axis=-1),
+        ], axis=-2)
     Vw = (transform_adjoint(com.R, com.x) @ cmd_twist[..., None])[..., 0]
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), com.R.shape)
@@ -262,6 +309,46 @@ def commander_precursors(com: ComState, joints: JointState,
     x_d = jnp.where(wmask, x_d_walk, x_stand)
     xdot_d = jnp.where(wmask, Vw[..., :3], 0.0)
     w_d = jnp.where(wmask, Vw[..., 3:], 0.0)
+
+    # 3b. (extension, opt-in) Stance body-pose integrator — the reference's
+    #     body-posing demo genre (teleop_ps4_stance.yaml:5-14, media
+    #     body_control.gif / stance.gif): the PS4 stance mapping commands
+    #     POSE RATES (wx/wy/wz -> roll/pitch/yaw, vz -> height), which
+    #     integrate into a carried desired pose that the balance QP tracks
+    #     on all-stance support. Clamped to StancePoseConfig's reach-safe
+    #     bounds; integration only runs once standing.
+    new_pose_cmd = carry.pose_cmd
+    if stance_pose is not False and stance_pose is not None:
+        from quadruped_control_tpu.config import StancePoseConfig
+        from quadruped_control_tpu.math.rotations import rpy_to_matrix
+
+        if carry.pose_cmd is None:
+            raise ValueError(
+                "stance_pose needs carry.pose_cmd — build the carry with "
+                "init_commander_carry(pose_cmd=True)")
+        spc = (stance_pose if isinstance(stance_pose, StancePoseConfig)
+               else StancePoseConfig())
+        rate = jnp.concatenate(
+            [cmd_twist[..., 3:6], cmd_twist[..., 2:3]], axis=-1)
+        lo = jnp.array([-spc.roll_max, -spc.pitch_max, -spc.yaw_max,
+                        spc.dz_min], dtype)
+        hi = jnp.array([spc.roll_max, spc.pitch_max, spc.yaw_max,
+                        spc.dz_max], dtype)
+        pc = jnp.clip(carry.pose_cmd + rate * dt, lo, hi)
+        new_pose_cmd = jnp.where(standing[..., None], pc, carry.pose_cmd)
+        smask = standing[..., None]
+        R_d = jnp.where(smask[..., None],
+                        rpy_to_matrix(new_pose_cmd[..., :3]), R_d)
+        x_d = jnp.where(
+            smask,
+            x_stand.at[..., 2].add(new_pose_cmd[..., 3]), x_d)
+        # Desired rates follow the command (world ~ body at these tilts,
+        # the reference's adjoint transform applied to a pure-rate twist).
+        xdot_d = jnp.where(
+            smask, jnp.zeros_like(xdot_d).at[..., 2].set(
+                cmd_twist[..., 2]), xdot_d)
+        w_d = jnp.where(
+            smask, (com.R @ cmd_twist[..., 3:6, None])[..., 0], w_d)
 
     # 4. Gait schedule: stance until the clock runs (commander_node.cpp:369,433).
     gait_walk = gait_at_time(jnp.maximum(gait_time, 0.0), gait_cfg, dtype=dtype)
@@ -402,8 +489,58 @@ def commander_precursors(com: ComState, joints: JointState,
         - com.x[..., None, :]
     )
     v_ref_body = jnp.einsum("...ji,...lj->...li", com.R, foot_ref.velocity)
+    if swing_vel_rescale is not None and swing_vel_rescale is not False:
+        # Physical-units velocity feedforward (opt-in; round-5 instrument
+        # for the swing-lag ratchet). The reference tracks the sextic in
+        # NORMALIZED time and feeds sdot(t), t in [0, 1], straight into
+        # the joint PD as a velocity reference (trajectory.cpp:239-254,
+        # joint_controller.cpp:21-39) — a quirk we preserve by default.
+        # Real foot velocity is dp/dt = sdot * dt_norm/dt = sdot/t_swing
+        # (~5.6x at the reference gait), so the default qdot_ref is ~18%
+        # of the true value and the kd term BRAKES the swing leg mid-
+        # flight: measured on full physics, the swing foot lags its
+        # descending reference by a per-cycle-growing zgap that ends in a
+        # trip -> windmill at 0.4 m/s forward and in sustained reverse
+        # (PARITY.md "Swing-lag ratchet"). True = the full physical
+        # 1/t_swing; a float or per-instance array = explicit multiplier
+        # (measured: the full scale overdrives the 0.2 m/s touchdowns on
+        # the light URDF legs while fixing 0.3-0.4 — the demo operating
+        # points pin tuned values).
+        if swing_vel_rescale is True:
+            v_ref_body = v_ref_body / gait_cfg.t_swing
+        else:
+            scale = jnp.asarray(swing_vel_rescale, dtype)
+            v_ref_body = v_ref_body * scale[..., None, None]
     q_ref = inverse_kinematics(p_ref_body, kin)
-    qdot_ref = (leg_jacobian_inverse(q_ref, kin) @ v_ref_body[..., None])[..., 0]
+    jinv = leg_jacobian_inverse(q_ref, kin)
+    qdot_ref = (jinv @ v_ref_body[..., None])[..., 0]
+    tau_ff_inertia = None
+    if swing_accel_ff:
+        # Model-based swing inertia feedforward (round-5 instrument for
+        # the swing-lag ratchet): tau_ff = D(q) qddot_ref with D the
+        # fixed-base per-leg mass matrix (sim.dynamics.leg_mass_matrices,
+        # passed in by the rollout layer like gravity_comp_tau) and
+        # qddot_ref = Jinv a_ref from the sextic's second derivative in
+        # PHYSICAL time (1/t_swing^2 — no reference quirk to preserve:
+        # the reference's own acceleration-reference code is commented
+        # out, trajectory.cpp:246-251). Zero at lift-off/touchdown by the
+        # sextic's boundary conditions.
+        if swing_mass is None:
+            raise ValueError(
+                "swing_accel_ff needs swing_mass — pass "
+                "sim.dynamics.leg_mass_matrices(model, joints.q)")
+        from quadruped_control_tpu.ops.trajectory import (
+            sextic_accel,
+            swing_time_of_phase,
+        )
+
+        t_n = swing_time_of_phase(gait.phase, gait_cfg)
+        a_norm = sextic_accel(traj.coeffs, t_n)
+        a_w = jnp.where(traj.valid[..., None], a_norm, 0.0) / (
+            gait_cfg.t_swing ** 2)
+        a_body = jnp.einsum("...ji,...lj->...li", com.R, a_w)
+        qdd_ref = (jinv @ a_body[..., None])[..., 0]
+        tau_ff_inertia = (swing_mass @ qdd_ref[..., None])[..., 0]
 
     # 7b. (extension, opt-in) Contact-aware stance gating: scheduled-stance
     #     feet still above the ground are withheld from the GRF QP and keep
@@ -429,13 +566,15 @@ def commander_precursors(com: ComState, joints: JointState,
     # 8. Swing PD torques (commander_node.cpp:503-504).
     tau_swing = joint_pd_control(q_ref, qdot_ref, joints.q, joints.qdot,
                                  cfg.joint_control)
+    if tau_ff_inertia is not None:
+        tau_swing = tau_swing + tau_ff_inertia
 
     return CommanderPrecursors(
         feet_body=feet_body, standing=standing, gait_time=gait_time,
         walking=walking, gait=gait, eff_stance=eff_stance, R_d=R_d, x_d=x_d,
         xdot_d=xdot_d, w_d=w_d, plan=plan, traj=traj, foot_ref=foot_ref,
         q_ref=q_ref, qdot_ref=qdot_ref, tau_swing=tau_swing,
-        p_start=p_start, ref_pose=new_ref,
+        p_start=p_start, ref_pose=new_ref, pose_cmd=new_pose_cmd,
     )
 
 
@@ -495,6 +634,10 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    raibert_cmd_symmetric: bool = False,
                    heading_hold: bool = False,
                    foothold_trim=None,
+                   swing_vel_rescale: bool = False,
+                   swing_accel_ff: bool = False,
+                   swing_mass=None,
+                   stance_pose=False,
                    gravity_comp_tau=None):
     """One control tick. All arguments broadcast over leading batch dims.
 
@@ -552,6 +695,10 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         raibert_cmd_symmetric=raibert_cmd_symmetric,
         heading_hold=heading_hold,
         foothold_trim=foothold_trim,
+        swing_vel_rescale=swing_vel_rescale,
+        swing_accel_ff=swing_accel_ff,
+        swing_mass=swing_mass,
+        stance_pose=stance_pose,
     )
     feet_body = pre.feet_body
     standing, gait_time, walking = pre.standing, pre.gait_time, pre.walking
@@ -666,6 +813,7 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         qp_s=sol.s,
         qp_z=sol.z,
         ref_pose=pre.ref_pose,
+        pose_cmd=pre.pose_cmd,
     )
     out = CommanderOutput(
         torques=tau,

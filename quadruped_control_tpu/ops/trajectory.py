@@ -92,6 +92,28 @@ def sextic_track(coeffs, t):
     return FootState(position=position, velocity=velocity)
 
 
+def sextic_accel(coeffs, t):
+    """Second derivative of the sextic at normalized time ``t`` in [0,1].
+
+    The reference computes (and then comments out) exactly this
+    (trajectory.cpp:246-251) — it never ships acceleration references.
+    Used by the swing inertia feedforward (commander ``swing_accel_ff``):
+    real-time acceleration is this value / t_swing^2. Zero at both
+    boundaries by the sextic's construction, so feedforward torque
+    vanishes at lift-off and touchdown.
+    """
+    t = jnp.asarray(t, dtype=coeffs.dtype)
+    one = jnp.ones_like(t)
+    zero = jnp.zeros_like(t)
+    t2 = t * t
+    t3 = t2 * t
+    t4 = t3 * t
+    ddpowers = jnp.stack(
+        [zero, zero, 2 * one, 6 * t, 12 * t2, 20 * t3, 30 * t4], axis=-1
+    )
+    return jnp.einsum("...k,...kd->...d", ddpowers, coeffs)
+
+
 def swing_time_of_phase(phase, cfg: GaitConfig):
     """Gait phase -> trajectory time t = clamp(slope*phase + intercept, 0, 1)
     (trajectory.cpp:300-307, 373)."""

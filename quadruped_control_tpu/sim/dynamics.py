@@ -237,6 +237,42 @@ def total_mass(model: WholeBodyModel):
     return model.trunk_mass + jnp.sum(model.link_mass)
 
 
+def leg_mass_matrices(model: WholeBodyModel, q):
+    """Per-leg (..., 4, 3, 3) joint-space mass matrices with the base held
+    fixed — the D blocks of the floating-tree mass matrix: the inertia a
+    swing leg's joint PD actually drives.
+
+    Twelve unit-acceleration RNEA columns restricted to one leg's joints
+    each (legs are decoupled given a fixed base, so each column only
+    needs its own leg's 3 joint rows). Feeds the commander's
+    ``swing_accel_ff`` inertia feedforward: tau_ff = D(q) qddot_ref — the
+    model-based instrument for the measured swing-lag ratchet (the
+    reference tracks its 0.15 s sextic open-loop-lagged by 3-8 cm with PD
+    alone; its own acceleration-reference code is commented out,
+    trajectory.cpp:246-251).
+    """
+    kin = precompute_leg_kinematics(model, q)
+    batch = q.shape[:-2]
+    dtype = q.dtype
+    zeros6 = jnp.zeros(batch + (6,), dtype)
+    zeros_q = jnp.zeros(batch + (4, 3), dtype)
+    eyeR = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3))
+
+    def column(e):
+        tau = rnea(model, kin, eyeR, zeros6, zeros_q, zeros6,
+                   jnp.broadcast_to(e, batch + (4, 3)), gravity=False)
+        return tau[..., 6:].reshape(batch + (4, 3))
+
+    basis = jnp.eye(3, dtype=dtype)  # joint-axis unit accelerations
+    # One column per joint axis, same axis on all 4 legs at once (legs are
+    # independent blocks, so cross-leg terms are exactly zero).
+    cols = jax.vmap(
+        lambda e: column(jnp.broadcast_to(e, (4, 3))))(basis)
+    # cols: (3, ..., 4, 3) = tau rows for unit qddot on axis j of each leg
+    D = jnp.moveaxis(cols, 0, -1)  # (..., 4, 3row, 3col)
+    return 0.5 * (D + jnp.swapaxes(D, -1, -2))
+
+
 def leg_gravity_torques(model: WholeBodyModel, q, base_R):
     """Per-joint gravity torques of the legs alone: the joint rows of the
     bias at zero velocity, tau_g = dV_legs/dq.

@@ -53,6 +53,8 @@ class WholeBodyRolloutResult(NamedTuple):
                                    "weight_shift", "m_update",
                                    "contact_gate", "raibert_cmd_symmetric",
                                    "heading_hold", "foothold_trim",
+                                   "swing_vel_rescale", "swing_accel_ff",
+                                   "stance_pose",
                                    "gravity_comp", "stepper",
                                    "cmd_schedule"))
 def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
@@ -73,6 +75,9 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        raibert_cmd_symmetric: bool = False,
                        heading_hold: bool = False,
                        foothold_trim=None,
+                       swing_vel_rescale: bool = False,
+                       swing_accel_ff: bool = False,
+                       stance_pose=False,
                        gravity_comp: bool = False,
                        stepper=None,
                        cmd_schedule: bool = False
@@ -104,6 +109,11 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
         carry = carry._replace(
             ref_pose=jnp.zeros(plant.x.shape[:-1] + (3,),
                                dtype=plant.x.dtype))
+    if stance_pose is not False and stance_pose is not None \
+            and carry.pose_cmd is None:
+        carry = carry._replace(
+            pose_cmd=jnp.zeros(plant.x.shape[:-1] + (4,),
+                               dtype=plant.x.dtype))
     xs = None
     if cmd_schedule:
         assert cmd_twist.shape[0] == steps, (cmd_twist.shape, steps)
@@ -116,6 +126,13 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
         g_tau = None
         if gravity_comp:
             g_tau = leg_gravity_torques(model, joints.q, com.R)
+        sw_mass = None
+        if swing_accel_ff:
+            from quadruped_control_tpu.sim.dynamics import (
+                leg_mass_matrices,
+            )
+
+            sw_mass = leg_mass_matrices(model, joints.q)
         out, cc = commander_step(
             com, joints, cc, cmd, dt, cfg,
             qp_iterations=qp_iterations, qp_polish=qp_polish,
@@ -127,6 +144,10 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
             raibert_cmd_symmetric=raibert_cmd_symmetric,
             heading_hold=heading_hold,
             foothold_trim=foothold_trim,
+            swing_vel_rescale=swing_vel_rescale,
+            swing_accel_ff=swing_accel_ff,
+            swing_mass=sw_mass,
+            stance_pose=stance_pose,
             gravity_comp_tau=g_tau,
         )
         if stepper is not None:

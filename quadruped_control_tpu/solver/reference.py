@@ -139,6 +139,64 @@ def grf_feasible_point(stance_mask: np.ndarray, fz_min: float, fz_max: float,
     return x
 
 
+class FlatnessCertificate(NamedTuple):
+    """Per-instance certificate for an f32 answer that differs from the
+    unique f64 optimum (Q is strictly convex, so literal optimal-set
+    multiplicity cannot occur — what DOES occur in the 4-stance family is
+    an f32-FLAT valley: the regularizer ``w_diag`` is the only curvature
+    in the 6-dim null space of the stacked SRB rows, so N-scale force
+    moves cost ~1e-8 relative objective).
+
+    ``obj_rel_gap``: relative objective of the f32 answer above the f64
+    optimum. ``dist``: ||x_f32 - x*||. ``curv_rel``: the certified
+    curvature statement — (1/2) d^T Q d / (1 + |f*|) for the unit-free
+    displacement d = x_f32 - x*; when this matches ``obj_rel_gap`` the
+    entire displacement lies in the flat valley (linear terms cancel at
+    the optimum up to active-set effects). ``n_weak_active``: active
+    oracle rows with multiplier < 1e-7 — the degeneracy witnesses (a
+    vertex with zero multipliers can be left without first-order cost).
+    ``flat``: obj_rel_gap <= tol — the f32 answer is optimal to the
+    certification tolerance even if its KKT flag or its force vector
+    disagrees with the oracle vertex."""
+
+    obj_rel_gap: float
+    dist: float
+    curv_rel: float
+    n_weak_active: int
+    flat: bool
+
+
+def certify_flatness(Q, c, G, h, x_f32, stance_mask,
+                     fz_min=10.0, fz_max=120.0, tol=1e-6):
+    """Certificates for a batch of f32 answers vs the f64 oracle.
+
+    Returns (certs, x_star, obj_star): a list of
+    :class:`FlatnessCertificate` plus the oracle solutions — the
+    instrument for the bench tail (instances whose loose conv flag failed)
+    and for the N-scale force-diff parity note (VERDICT round-4 #5)."""
+    Q, c, G, h = (np.asarray(a, dtype=np.float64) for a in (Q, c, G, h))
+    x_f32 = np.asarray(x_f32, dtype=np.float64)
+    stance_mask = np.asarray(stance_mask)
+    certs, xs, objs = [], [], []
+    for i in range(Q.shape[0]):
+        x0 = grf_feasible_point(stance_mask[i], fz_min, fz_max)
+        sol = solve_qp_active_set(Q[i], c[i], G[i], h[i], x0=x0)
+        f_star = 0.5 * sol.x @ Q[i] @ sol.x + c[i] @ sol.x
+        f_32 = 0.5 * x_f32[i] @ Q[i] @ x_f32[i] + c[i] @ x_f32[i]
+        scale = 1.0 + abs(f_star)
+        gap = (f_32 - f_star) / scale
+        d = x_f32[i] - sol.x
+        curv = 0.5 * d @ Q[i] @ d / scale
+        weak = int(np.sum(sol.active & (sol.lam < 1e-7)))
+        certs.append(FlatnessCertificate(
+            obj_rel_gap=float(gap), dist=float(np.linalg.norm(d)),
+            curv_rel=float(curv), n_weak_active=weak,
+            flat=bool(abs(gap) <= tol)))
+        xs.append(sol.x)
+        objs.append(f_star)
+    return certs, np.array(xs), np.array(objs)
+
+
 def solve_qp_batch_oracle(Q, c, G, h, stance_mask, fz_min=10.0, fz_max=120.0):
     """Loop the oracle over a batch (host-side validation path).
 

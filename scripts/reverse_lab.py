@@ -100,8 +100,10 @@ def main():
     for g in os.environ.get(
             "QCT_LAB_GRID", "0:0,0.6:0.2,1.0:0.4").split(","):
         p = [float(v) for v in g.split(":")]
-        p += [cmd_vx, 1.0, 1.0, 1.0, 0.5, 0.05, 0.0, 0.0][len(p) - 2:]
-        grid.append(tuple(p))  # (yg,lg,vx,wp,wroll,wrr,cap,lv,rg,rvg)
+        p += [cmd_vx, 1.0, 1.0, 1.0, 0.5, 0.05, 0.0, 0.0, 0.0][len(p) - 2:]
+        grid.append(tuple(p))  # (yg,lg,vx,wp,wroll,wrr,cap,lv,rg,rvg,vsc)
+        # vsc: swing_vel_rescale multiplier in physical units — 0 = the
+        # reference quirk (normalized-time sdot), 1 = full 1/t_swing.
     B = len(grid)
     base_w = np.array([50.0, 50.0, 10.0, 1.0, 1.0, 100.0,
                        1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 0.0])
@@ -131,6 +133,16 @@ def main():
     if os.environ.get("QCT_LAB_TRIM", "1") == "0":
         Trim = None  # noqa: F811 — control runs without the regulator
 
+    # Per-instance swing velocity-ff multiplier: grid slot 10 is the
+    # FRACTION of the full physical rescale (0 = reference quirk,
+    # 1 = 1/t_swing); QCT_LAB_VSCALE sets the default fraction.
+    vfrac = np.array([g[10] for g in grid])
+    env_vf = float(os.environ.get("QCT_LAB_VSCALE", "0"))
+    if env_vf and not vfrac.any():
+        vfrac[:] = env_vf
+    vscale = (jnp.asarray(1.0 + vfrac * (1.0 / tsw - 1.0), DT64)
+              if vfrac.any() else None)
+
     plant, carry = init_whole_body_rollout(cfg, dtype=DT64)
     stand_kw = dict(MPC_KW)
     stand_kw["mpc_state_weights"] = None
@@ -155,15 +167,26 @@ def main():
 
     @jax.jit
     def run(plant_s, carry_s):
+        aff = os.environ.get("QCT_LAB_AFF", "0") != "0"
+
         def body(state, _):
             wb, cc = state
             com, joints = whole_body_com_state(wb, cfg)
             g_tau = (leg_gravity_torques(model, joints.q, com.R)
                      if grav else None)
+            sw_mass = None
+            if aff:
+                from quadruped_control_tpu.sim.dynamics import (
+                    leg_mass_matrices,
+                )
+                sw_mass = leg_mass_matrices(model, joints.q)
             out, cc = commander_step(
                 com, joints, cc, cmd, dt, cfg, foothold_trim=Trim,
                 gravity_comp_tau=g_tau, contact_gate=gate,
-                raibert_cmd_symmetric=sym, **MPC_KW)
+                raibert_cmd_symmetric=sym,
+                swing_vel_rescale=vscale,
+                swing_accel_ff=aff, swing_mass=sw_mass,
+                **MPC_KW)
             wb = whole_body_step(wb, out.torques, dt, model, cfg, contact,
                                  n_substeps=N_SUB)
             rpy = matrix_to_rpy(wb.R)
