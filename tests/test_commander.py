@@ -95,3 +95,110 @@ def test_vmap_batch_matches_single():
         np.testing.assert_allclose(
             np.asarray(out_b.torques[i]), np.asarray(out_s.torques), atol=1e-6
         )
+
+
+def _walking_state(gait_time=0.9):
+    plant = init_plant_state(CFG, (), dtype=jnp.float64, height=0.26)
+    carry = init_commander_carry((), dtype=jnp.float64)
+    carry = carry._replace(standing=jnp.asarray(True),
+                           gait_time=jnp.asarray(gait_time))
+    return plant, carry
+
+
+def test_swing_vel_rescale_scales_qdot_ref():
+    """swing_vel_rescale=True multiplies the swing velocity feedforward by
+    exactly 1/t_swing (the physical-units correction of the reference's
+    normalized-time sdot quirk, trajectory.cpp:239-254); a float gives
+    that explicit multiplier. q_ref is untouched."""
+    from quadruped_control_tpu.control.commander import commander_precursors
+
+    plant, carry = _walking_state()
+    cmd = jnp.zeros(6, jnp.float64).at[0].set(0.3)
+    # one planned tick first so trajectories are valid
+    _, carry = commander_step(plant.com, plant.joints, carry, cmd, DT, CFG)
+    base = commander_precursors(plant.com, plant.joints, carry, cmd, DT, CFG)
+    resc = commander_precursors(plant.com, plant.joints, carry, cmd, DT, CFG,
+                                swing_vel_rescale=True)
+    half = commander_precursors(plant.com, plant.joints, carry, cmd, DT, CFG,
+                                swing_vel_rescale=3.0)
+    np.testing.assert_allclose(np.asarray(resc.q_ref),
+                               np.asarray(base.q_ref), rtol=0)
+    swing = ~np.asarray(base.gait.in_stance)
+    assert swing.any()
+    qd_b = np.asarray(base.qdot_ref)[swing]
+    qd_r = np.asarray(resc.qdot_ref)[swing]
+    qd_h = np.asarray(half.qdot_ref)[swing]
+    assert np.abs(qd_b).max() > 1e-6
+    np.testing.assert_allclose(qd_r, qd_b / CFG.gait.t_swing, rtol=1e-12)
+    np.testing.assert_allclose(qd_h, qd_b * 3.0, rtol=1e-12)
+
+
+def test_swing_accel_ff_adds_inertia_torque():
+    """swing_accel_ff adds D(q) @ Jinv @ a_ref/t_swing^2 to the swing
+    torques (zero at the sextic boundaries); requires swing_mass."""
+    from quadruped_control_tpu.config import mit_cheetah_whole_body_config
+    from quadruped_control_tpu.control.commander import commander_precursors
+    from quadruped_control_tpu.sim import mit_cheetah_whole_body_model
+    from quadruped_control_tpu.sim.dynamics import leg_mass_matrices
+
+    cfg = mit_cheetah_whole_body_config()
+    dt = 1.0 / cfg.frequency
+    plant = init_plant_state(cfg, (), dtype=jnp.float64, height=0.26)
+    carry = init_commander_carry((), dtype=jnp.float64)
+    carry = carry._replace(standing=jnp.asarray(True),
+                           gait_time=jnp.asarray(0.3))
+    cmd = jnp.zeros(6, jnp.float64).at[0].set(0.3)
+    _, carry = commander_step(plant.com, plant.joints, carry, cmd, dt, cfg)
+    model = mit_cheetah_whole_body_model(cfg, dtype=jnp.float64)
+    mass = leg_mass_matrices(model, plant.joints.q)
+    base = commander_precursors(plant.com, plant.joints, carry, cmd, dt, cfg)
+    ff = commander_precursors(plant.com, plant.joints, carry, cmd, dt, cfg,
+                              swing_accel_ff=True, swing_mass=mass)
+    swing = ~np.asarray(base.gait.in_stance)
+    assert swing.any()
+    d = np.asarray(ff.tau_swing - base.tau_swing)
+    # mid-swing: nonzero feedforward on swing legs only matters (stance
+    # rows are masked downstream); torques stay bounded
+    assert np.abs(d[swing]).max() > 1e-4
+    assert np.abs(d).max() < 60.0
+    with pytest.raises(ValueError, match="swing_mass"):
+        commander_precursors(plant.com, plant.joints, carry, cmd, dt, cfg,
+                             swing_accel_ff=True)
+
+
+def test_stance_pose_mode_integrates_and_clamps():
+    """stance_pose: the gait clock never starts, commanded rates integrate
+    into carry.pose_cmd (clamped to StancePoseConfig), and R_d/x_d track
+    the posed reference (teleop_ps4_stance.yaml genre)."""
+    from quadruped_control_tpu.config import StancePoseConfig
+
+    plant = init_plant_state(CFG, (), dtype=jnp.float64, height=0.26)
+    carry = init_commander_carry((), dtype=jnp.float64, pose_cmd=True)
+    carry = carry._replace(standing=jnp.asarray(True))
+    cmd = jnp.zeros(6, jnp.float64).at[3].set(0.4).at[2].set(-0.1)
+    c = carry
+    for _ in range(50):  # 50 ticks at 0.4 rad/s -> clamped by roll_max 0.3
+        out, c = commander_step(plant.com, plant.joints, c, cmd, DT, CFG,
+                                stance_pose=True)
+    pc = np.asarray(c.pose_cmd)
+    spc = StancePoseConfig()
+    # gait never started; all-stance support
+    assert float(c.gait_time) < 0.0
+    assert np.asarray(out.gait.in_stance).all()
+    # roll integrated 0.4 * 50 * DT, z dropped 0.1 * 50 * DT (within clamps)
+    np.testing.assert_allclose(pc[0], min(0.4 * 50 * DT, spc.roll_max),
+                               rtol=1e-9)
+    np.testing.assert_allclose(pc[3], max(-0.1 * 50 * DT, spc.dz_min),
+                               rtol=1e-9)
+    assert abs(pc[1]) < 1e-12 and abs(pc[2]) < 1e-12
+    # keep integrating far past the clamp: saturates exactly
+    for _ in range(400):
+        out, c = commander_step(plant.com, plant.joints, c, cmd, DT, CFG,
+                                stance_pose=True)
+    pc = np.asarray(c.pose_cmd)
+    np.testing.assert_allclose(pc[0], spc.roll_max, rtol=1e-12)
+    np.testing.assert_allclose(pc[3], spc.dz_min, rtol=1e-12)
+    with pytest.raises(ValueError, match="pose_cmd"):
+        commander_step(plant.com, plant.joints,
+                       init_commander_carry((), dtype=jnp.float64),
+                       cmd, DT, CFG, stance_pose=True)
