@@ -704,6 +704,12 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
             udot = ub + uq
 
             u_new = tuple(_add(u[i], _smul(h, udot[i])) for i in range(18))
+            # Post-fall poison guard stage 1 (parity with sim/plant.py's
+            # substep guard): clamp generalized velocities to the far-
+            # beyond-envelope bound BEFORE deriving pose updates, so one
+            # explosive contact impulse cannot launch the integrator.
+            # Bit-exact no-op on nominal lanes (|u| < 30 in the trot).
+            u_new = tuple(jnp.clip(v, -200.0, 200.0) for v in u_new)
             w_new = u_new[0:3]
             v_new = u_new[3:6]
             x_new = _vadd(x, _vsmul(h, _matvec(Rm, v_new)))
@@ -737,6 +743,29 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
                         acc = acc + Rm[i][m_] * E[m_][j]
                     R_new.append(acc)
 
+            # Post-fall poison guard stage 2 (parity with sim/plant.py):
+            # if the substep still produced a non-finite value anywhere in
+            # the lane's state, FREEZE that lane at its previous state
+            # with zeroed velocity — one crashed scenario can never NaN a
+            # packed batch. Finiteness via a single |.|-sum (NaN/Inf
+            # poison the sum; no bool VECTORS needed beyond the compare,
+            # which select_n accepts as a condition — Mosaic rules in
+            # CLAUDE.md). Bit-exact no-op on finite lanes.
+            _c = lambda v: zero if v is None else v  # noqa: E731
+            nf = zero
+            for v in (tuple(R_new) + tuple(x_new) + u_new + q_new
+                      + tuple(anchor_new)):
+                nf = nf + jnp.abs(_c(v))
+            ok = nf < 1e30
+            R_new = [jnp.where(ok, _c(v), _c(R[i]))
+                     for i, v in enumerate(R_new)]
+            x_new = tuple(jnp.where(ok, _c(v), _c(x[i]))
+                          for i, v in enumerate(x_new))
+            u_new = tuple(jnp.where(ok, _c(v), zero) for v in u_new)
+            q_new = tuple(jnp.where(ok, _c(v), _c(q[i]))
+                          for i, v in enumerate(q_new))
+            anchor_new = [jnp.where(ok, _c(v), _c(anchor[i]))
+                          for i, v in enumerate(anchor_new)]
             out = (tuple(R_new) + x_new + u_new + q_new
                    + tuple(anchor_new))
             # Mosaic: no Nones in the fori carry — materialize zeros.

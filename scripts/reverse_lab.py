@@ -100,10 +100,13 @@ def main():
     for g in os.environ.get(
             "QCT_LAB_GRID", "0:0,0.6:0.2,1.0:0.4").split(","):
         p = [float(v) for v in g.split(":")]
-        p += [cmd_vx, 1.0, 1.0, 1.0, 0.5, 0.05, 0.0, 0.0, 0.0][len(p) - 2:]
-        grid.append(tuple(p))  # (yg,lg,vx,wp,wroll,wrr,cap,lv,rg,rvg,vsc)
-        # vsc: swing_vel_rescale multiplier in physical units — 0 = the
-        # reference quirk (normalized-time sdot), 1 = full 1/t_swing.
+        p += [cmd_vx, 1.0, 1.0, 1.0, 0.5, 0.05, 0.0, 0.0, 0.0,
+              0.0][len(p) - 2:]
+        grid.append(tuple(p))  # (yg,lg,vx,wp,wroll,wrr,cap,lv,rg,rvg,
+        #                        vsc,hl)
+        # vsc: swing_vel_rescale FRACTION of full 1/t_swing (0 = the
+        # reference quirk). hl: FootholdTrimConfig.heading_lead [rad]
+        # (0 = reference re-anchoring).
     B = len(grid)
     base_w = np.array([50.0, 50.0, 10.0, 1.0, 1.0, 100.0,
                        1.0, 1.0, 5.0, 5.0, 5.0, 2.0, 0.0])
@@ -129,6 +132,7 @@ def main():
         roll_gain = jnp.array([g[8] for g in grid], DT64)
         roll_vel_gain = jnp.array([g[9] for g in grid], DT64)
         roll_max = ft.roll_max
+        heading_lead = jnp.array([g[11] for g in grid], DT64)
 
     if os.environ.get("QCT_LAB_TRIM", "1") == "0":
         Trim = None  # noqa: F811 — control runs without the regulator
