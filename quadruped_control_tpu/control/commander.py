@@ -580,7 +580,8 @@ def commander_precursors(com: ComState, joints: JointState,
 
 def mpc_precursors(com: ComState, gait_time, walking, eff_stance,
                    cmd_twist, cfg: ControlConfig, mpc_horizon: int,
-                   mpc_dt: float, contact_gate: float = 0.0):
+                   mpc_dt: float, contact_gate: float = 0.0,
+                   yaw_d=None):
     """MPC input assembly shared by commander_step's ``controller="mpc"``
     branch and the fused-tick parity tests (the XLA twin of the
     commander-pre kernel's MPC precursor block,
@@ -617,7 +618,19 @@ def mpc_precursors(com: ComState, gait_time, walking, eff_stance,
     # current (x, y, yaw) and drive to the stand height: the stand_up
     # path's MPC analogue).
     cmd_eff = jnp.where(walking[..., None], cmd_twist, 0.0)
-    xi_ref = make_reference_trajectory(xi0, cmd_eff, mpc_horizon, mpc_dt,
+    xi_seed = xi0
+    if yaw_d is not None:
+        # Absolute-heading servo (FootholdTrimConfig.heading_lead): seed
+        # the reference trajectory's yaw from the SERVOED desired yaw
+        # instead of the measured yaw, so the MPC's yaw-weight channel
+        # pulls toward the carried reference heading rather than
+        # re-anchoring every tick (the reason commanded wz was absorbed /
+        # overshot: the cost never saw a persistent yaw error). The
+        # DYNAMICS linearization stays at the measured xi0.
+        xi_seed = xi0.at[..., 2].set(
+            jnp.where(walking, yaw_d, xi0[..., 2]))
+    xi_ref = make_reference_trajectory(xi_seed, cmd_eff, mpc_horizon,
+                                       mpc_dt,
                                        target_height=cfg.stand.height)
     return xi0, xi_ref, rpy[..., 2], stance_sched
 
@@ -724,9 +737,17 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
     elif controller == "mpc":
         from quadruped_control_tpu.mpc.horizon import solve_mpc
 
+        hl_mpc = (getattr(foothold_trim, "heading_lead", 0.0)
+                  if foothold_trim is not None else 0.0)
+        yaw_d_mpc = None
+        if not (isinstance(hl_mpc, float) and hl_mpc == 0.0):
+            # The servoed desired yaw computed in commander_precursors
+            # (heading_lead block) — R_d is a pure-z rotation there.
+            yaw_d_mpc = jnp.arctan2(R_d[..., 1, 0], R_d[..., 0, 0])
         xi0, xi_ref, yaw, stance_sched = mpc_precursors(
             com, gait_time, walking, eff_stance, cmd_twist, cfg,
-            mpc_horizon, mpc_dt, contact_gate=contact_gate)
+            mpc_horizon, mpc_dt, contact_gate=contact_gate,
+            yaw_d=yaw_d_mpc)
         if mpc_backend == "riccati-pallas":
             from quadruped_control_tpu.mpc.pallas_riccati import (
                 solve_mpc_fused,
