@@ -146,7 +146,9 @@ def commander_precursors(com: ComState, joints: JointState,
                          swing_vel_rescale: bool = False,
                          swing_accel_ff: bool = False,
                          swing_mass=None,
-                         stance_pose=False
+                         stance_pose=False,
+                         swing_start_ground: bool = False,
+                         body_frame_exact: bool = False,
                          ) -> CommanderPrecursors:
     """Commander steps 1-8 (SURVEY.md §3.1): FK, the standing/gait state
     machine, desired-state generation, foothold planning, swing-trajectory
@@ -476,18 +478,48 @@ def commander_precursors(com: ComState, joints: JointState,
     p_start = (
         jnp.einsum("...ij,...lj->...li", com.R, feet_body) + com.x[..., None, :]
     )
+    p_plan = p_start
+    if swing_start_ground:
+        # (extension, opt-in) Swing-lag ratchet instrument (round 5): on a
+        # LATE touchdown the scheduled lift-off catches the foot still in
+        # the air, and the reference's plan-from-measured-foot rule
+        # (commander_node.cpp:451-461) then lifts the entire new sextic by
+        # the leftover height — the swing reference's z creeps cycle over
+        # cycle (the measured secular zgap ratchet that trips 0.4 m/s
+        # forward and sustained reverse, PARITY.md "Swing-lag ratchet").
+        # Planning from the ground-projected start re-anchors every swing
+        # to the terrain; the tracked reference still starts at the foot's
+        # measured (x, y).
+        p_plan = p_plan.at[..., 2].set(jnp.minimum(p_plan[..., 2], 0.0))
     traj = plan_swing_trajectories(
-        carry.planner.traj, p_start, plan.footholds, plan.replan, gait_cfg
+        carry.planner.traj, p_plan, plan.footholds, plan.replan, gait_cfg
     )
 
     # 7. Swing-leg joint references (commander_node.cpp:482-500).
     foot_ref = reference_foot_states(traj, gait, gait_cfg)
     # World -> body transform with the reference's exact quirk:
     # p_b = R^T p_w - x (commander_node.cpp:491, NOT R^T (p - x)).
-    p_ref_body = (
-        jnp.einsum("...ji,...lj->...li", com.R, foot_ref.position)
-        - com.x[..., None, :]
-    )
+    if body_frame_exact:
+        # (extension, opt-in) The exact transform p_b = R^T (p_w - x).
+        # The preserved quirk's error is (R^T - I) x — it GROWS WITH
+        # DISTANCE TRAVELED: with the trot's small pitch bias theta the
+        # swing IK z-target is off by ~ -theta * x_x, i.e. ~4 cm after
+        # 2 m, which is the measured secular swing-foot zgap ratchet
+        # that fells sustained reverse at ~10 s / ~2 m and 0.4 m/s
+        # forward at ~7.7 s / ~3 m (round-5 labs: heading servo, swing
+        # velocity ff, contact gating and accel ff all left the creep
+        # slope unchanged — it is not a tracking problem, the TARGET
+        # drifts). The reference never walks far from the origin in its
+        # demos (short piloted bursts, Drake resets), so the quirk never
+        # binds there; at range it is the dominant instability.
+        p_ref_body = jnp.einsum(
+            "...ji,...lj->...li", com.R,
+            foot_ref.position - com.x[..., None, :])
+    else:
+        p_ref_body = (
+            jnp.einsum("...ji,...lj->...li", com.R, foot_ref.position)
+            - com.x[..., None, :]
+        )
     v_ref_body = jnp.einsum("...ji,...lj->...li", com.R, foot_ref.velocity)
     if swing_vel_rescale is not None and swing_vel_rescale is not False:
         # Physical-units velocity feedforward (opt-in; round-5 instrument
@@ -554,10 +586,14 @@ def commander_precursors(com: ComState, joints: JointState,
         end_state = sextic_track(traj.coeffs, jnp.ones_like(gait.phase))
         end_pos = jnp.where(traj.valid[..., None], end_state.position,
                             p_start)
-        p_end_body = (
-            jnp.einsum("...ji,...lj->...li", com.R, end_pos)
-            - com.x[..., None, :]
-        )
+        if body_frame_exact:
+            p_end_body = jnp.einsum("...ji,...lj->...li", com.R,
+                                    end_pos - com.x[..., None, :])
+        else:
+            p_end_body = (
+                jnp.einsum("...ji,...lj->...li", com.R, end_pos)
+                - com.x[..., None, :]
+            )
         q_end = inverse_kinematics(p_end_body, kin)
         gated = jnp.logical_and(gait.in_stance, ~grounded)
         q_ref = jnp.where(gated[..., None], q_end, q_ref)
@@ -651,6 +687,8 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
                    swing_accel_ff: bool = False,
                    swing_mass=None,
                    stance_pose=False,
+                   swing_start_ground: bool = False,
+                   body_frame_exact: bool = False,
                    gravity_comp_tau=None):
     """One control tick. All arguments broadcast over leading batch dims.
 
@@ -712,6 +750,8 @@ def commander_step(com: ComState, joints: JointState, carry: CommanderCarry,
         swing_accel_ff=swing_accel_ff,
         swing_mass=swing_mass,
         stance_pose=stance_pose,
+        swing_start_ground=swing_start_ground,
+        body_frame_exact=body_frame_exact,
     )
     feet_body = pre.feet_body
     standing, gait_time, walking = pre.standing, pre.gait_time, pre.walking

@@ -54,7 +54,8 @@ class WholeBodyRolloutResult(NamedTuple):
                                    "contact_gate", "raibert_cmd_symmetric",
                                    "heading_hold", "foothold_trim",
                                    "swing_vel_rescale", "swing_accel_ff",
-                                   "stance_pose",
+                                   "stance_pose", "swing_start_ground",
+                                   "body_frame_exact",
                                    "gravity_comp", "stepper",
                                    "cmd_schedule"))
 def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
@@ -78,6 +79,8 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
                        swing_vel_rescale: bool = False,
                        swing_accel_ff: bool = False,
                        stance_pose=False,
+                       swing_start_ground: bool = False,
+                       body_frame_exact: bool = False,
                        gravity_comp: bool = False,
                        stepper=None,
                        cmd_schedule: bool = False
@@ -148,6 +151,8 @@ def rollout_whole_body(plant: WholeBodyState, carry: CommanderCarry,
             swing_accel_ff=swing_accel_ff,
             swing_mass=sw_mass,
             stance_pose=stance_pose,
+            swing_start_ground=swing_start_ground,
+            body_frame_exact=body_frame_exact,
             gravity_comp_tau=g_tau,
         )
         if stepper is not None:

@@ -92,6 +92,8 @@ def main():
     cmd_vx = float(os.environ.get("QCT_LAB_CMD", "-0.2"))
     secs = float(os.environ.get("QCT_LAB_SECS", "8"))
     gate = float(os.environ.get("QCT_LAB_GATE", "0"))
+    ssg = os.environ.get("QCT_LAB_SSG", "0") != "0"
+    bfe = os.environ.get("QCT_LAB_BFE", "0") != "0"
     sym = os.environ.get("QCT_LAB_SYM", "0") != "0"
     # Grid entries yg:lg[:vx[:wp]] — per-instance command vx (overrides
     # QCT_LAB_CMD) and MPC pitch-weight multiplier wp, so combos compare
@@ -190,6 +192,8 @@ def main():
                 raibert_cmd_symmetric=sym,
                 swing_vel_rescale=vscale,
                 swing_accel_ff=aff, swing_mass=sw_mass,
+                swing_start_ground=ssg,
+                body_frame_exact=bfe,
                 **MPC_KW)
             wb = whole_body_step(wb, out.torques, dt, model, cfg, contact,
                                  n_substeps=N_SUB)

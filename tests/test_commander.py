@@ -166,6 +166,93 @@ def test_swing_accel_ff_adds_inertia_torque():
                              swing_accel_ff=True)
 
 
+def test_swing_start_ground_anchors_plan():
+    """swing_start_ground=True plans replanned swing sextics from the
+    ground-projected start (z clamped to <= 0) while the TRACKED start
+    p_start stays the measured foot — the round-5 swing-lag ratchet
+    instrument (a late touchdown otherwise lifts the next plan by the
+    leftover foot height, commander_node.cpp:451-461 planned-from-
+    measured rule). Feet on the ground: bitwise no-op."""
+    from quadruped_control_tpu.control.commander import commander_precursors
+    from quadruped_control_tpu.ops.trajectory import sextic_track
+
+    plant, carry = _walking_state(gait_time=0.9)
+    cmd = jnp.zeros(6, jnp.float64).at[0].set(0.3)
+    # Fresh planner carry: legs in swing NOW replan this tick
+    # (foot_planner.py replan = swing_now when uninitialized).
+    lifted = plant.com._replace(x=plant.com.x.at[2].add(0.05))
+    base = commander_precursors(lifted, plant.joints, carry, cmd, DT, CFG)
+    clmp = commander_precursors(lifted, plant.joints, carry, cmd, DT, CFG,
+                                swing_start_ground=True)
+    swing = ~np.asarray(base.gait.in_stance)
+    assert swing.any()
+    # Tracking start unchanged: the measured feet sit ~5 cm up.
+    np.testing.assert_allclose(np.asarray(clmp.p_start),
+                               np.asarray(base.p_start), rtol=0)
+    assert (np.asarray(base.p_start[..., 2])[swing] > 0.04).all()
+    # The PLAN start (sextic at t=0): measured height vs clamped to 0.
+    t0 = jnp.zeros(4, jnp.float64)
+    z0_base = np.asarray(sextic_track(base.traj.coeffs, t0).position[..., 2])
+    z0_clmp = np.asarray(sextic_track(clmp.traj.coeffs, t0).position[..., 2])
+    np.testing.assert_allclose(z0_base[swing],
+                               np.asarray(base.p_start[..., 2])[swing],
+                               atol=1e-9)
+    np.testing.assert_allclose(z0_clmp[swing], 0.0, atol=1e-9)
+    # Feet at/below the ground plane: the instrument is a no-op. (The
+    # synthetic init pose holds the feet ~0.18 m up, so push the base
+    # down far enough that every foot sits below z = 0.)
+    sunk = plant.com._replace(x=plant.com.x.at[2].add(-0.2))
+    b2 = commander_precursors(sunk, plant.joints, carry, cmd, DT, CFG)
+    assert (np.asarray(b2.p_start[..., 2]) < 0.0).all()
+    c2 = commander_precursors(sunk, plant.joints, carry, cmd, DT, CFG,
+                              swing_start_ground=True)
+    np.testing.assert_allclose(np.asarray(c2.traj.coeffs),
+                               np.asarray(b2.traj.coeffs), rtol=0)
+    np.testing.assert_allclose(np.asarray(c2.tau_swing),
+                               np.asarray(b2.tau_swing), rtol=0)
+
+
+def test_body_frame_exact_transform():
+    """body_frame_exact=True converts the world swing reference with the
+    exact p_b = R^T (p_w - x); default preserves the reference's quirk
+    p_b = R^T p_w - x (commander_node.cpp:491). The quirk's error
+    (R^T - I) x grows with distance traveled — the round-5 root cause of
+    the swing-lag ratchet (PARITY.md). At R = I the two are bitwise
+    equal; far from the origin with attitude they must differ."""
+    from quadruped_control_tpu.control.commander import commander_precursors
+    from quadruped_control_tpu.math.rotations import rpy_to_matrix
+    from quadruped_control_tpu.ops.kinematics import inverse_kinematics
+
+    plant, carry = _walking_state(gait_time=0.9)
+    cmd = jnp.zeros(6, jnp.float64).at[0].set(0.3)
+    # R = I (any x): bitwise identical, quirk == exact.
+    far = plant.com._replace(x=jnp.array([2.0, -0.7, 0.26], jnp.float64))
+    b0 = commander_precursors(far, plant.joints, carry, cmd, DT, CFG)
+    e0 = commander_precursors(far, plant.joints, carry, cmd, DT, CFG,
+                              body_frame_exact=True)
+    np.testing.assert_allclose(np.asarray(e0.q_ref), np.asarray(b0.q_ref),
+                               rtol=0)
+    # Attitude + range: the exact path must match the hand-computed
+    # R^T (p - x) IK and differ from the quirk by ~ (R^T - I) x.
+    R = rpy_to_matrix(jnp.array([0.0, -0.03, 0.2], jnp.float64))
+    tilted = far._replace(R=R)
+    b1 = commander_precursors(tilted, plant.joints, carry, cmd, DT, CFG)
+    e1 = commander_precursors(tilted, plant.joints, carry, cmd, DT, CFG,
+                              body_frame_exact=True)
+    np.testing.assert_allclose(np.asarray(e1.foot_ref.position),
+                               np.asarray(b1.foot_ref.position), rtol=0)
+    p_exact = jnp.einsum("ji,lj->li", R,
+                         e1.foot_ref.position - tilted.x[None, :])
+    q_expect = inverse_kinematics(p_exact, CFG.kinematics)
+    swing = ~np.asarray(b1.gait.in_stance)
+    assert swing.any()
+    np.testing.assert_allclose(np.asarray(e1.q_ref)[swing],
+                               np.asarray(q_expect)[swing], atol=1e-12)
+    # The quirk's foot-level error at this pose/range is centimeters.
+    d = np.abs(np.asarray(e1.q_ref) - np.asarray(b1.q_ref))[swing]
+    assert d.max() > 1e-3
+
+
 def test_stance_pose_mode_integrates_and_clamps():
     """stance_pose: the gait clock never starts, commanded rates integrate
     into carry.pose_cmd (clamped to StancePoseConfig), and R_d/x_d track
