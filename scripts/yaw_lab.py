@@ -82,6 +82,7 @@ def main():
                   mpc_state_weights=jnp.asarray(wts, DT64))
 
     ftd = FootholdTrimConfig()
+    bfe = os.environ.get("QCT_YAW_BFE", "0") != "0"
 
     class Trim:
         yaw_gain = jnp.array([g[3] for g in grid], DT64)
@@ -123,6 +124,7 @@ def main():
             out, cc = commander_step(
                 com, joints, cc, cmd, dt, cfg, foothold_trim=Trim,
                 gravity_comp_tau=g_tau, raibert_cmd_symmetric=True,
+                body_frame_exact=bfe,
                 **mpc_kw)
             wb = whole_body_step(wb, out.torques, dt, model, cfg, contact,
                                  n_substeps=N_SUB)
