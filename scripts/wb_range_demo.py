@@ -92,7 +92,11 @@ def main(out_dir="/tmp/wb_range_demo", animate=False):
     print("wrote", path)
     if animate:
         gif = os.path.join(out_dir, "wb_range.gif")
-        animate_rollout(res.trace, 1.0 / f, gif, cfg=cfg, stride=12)
+        # stride 24 + dpi 60 keeps the 22 s schedule's GIF ~3 MB (a
+        # walking camera pans ground, which compresses far worse than
+        # the in-place stance demo; do not commit double-digit-MB GIFs).
+        animate_rollout(res.trace, 1.0 / f, gif, cfg=cfg, stride=24,
+                        dpi=60)
         print("wrote", gif)
 
 

@@ -330,9 +330,10 @@ def test_whole_body_forward_04(urdf_stand):
     ground-anchored plans, contact gating: creep slope identical). With
     the exact transform the 30 s lab scans hold a clean limit cycle at
     0.4 m/s over 12 m (zgap band constant [-0.023, +0.018] from t=5 to
-    t=30, roll +-0.02, height +-1 mm); a 0->0.5 step still falls — the
-    frontier sits AT the reference's published maximum
-    (scripts/reverse_lab.py, QCT_LAB_BFE=1)."""
+    t=30, roll +-0.02, height +-1 mm; scripts/reverse_lab.py,
+    QCT_LAB_BFE=1). A direct 0->0.5 step still falls (the step
+    transient, not the gait): STAGED speed-ups pass the reference's
+    maximum — see test_whole_body_forward_05_staged."""
     cfg, model, kw, res = urdf_stand
     kw = dict(kw, body_frame_exact=True)
     f = cfg.frequency
@@ -363,12 +364,13 @@ def test_whole_body_forward_05_staged(urdf_stand):
     0 -> 0.5 falls in <1 s, but any staged approach through 0.4 holds —
     measured (scripts/speed_frontier_probe.py, 16-20 s scans, URDF
     substrate): 0.4->0.5 at vx 0.508-0.511 and height +-1 mm for 8 s;
-    0.4->0.55, 0.4->0.5->0.6 and 0.4->0.5->0.6->0.7 ALL hold (0.7
-    tracked at 0.714, y drift < 2 cm) — 1.75x the reference's 0.4 m/s
-    with the reference's own slow-trot gait. This test pins the 0.5
-    stage (double-staged margin inside the measured envelope); the SRB
-    fast-trot preset's 1.7 m/s envelope is pinned separately
-    (scripts/envelope_sweep.py, PARITY.md)."""
+    0.4->0.55, 0.4->0.5->0.6, ...->0.7, and staged 0.8 and 1.0 m/s ALL
+    hold (24 s scans; the 1.0 stage tracks vx 1.018-1.024 with height
+    +-2 mm and y < 2 cm) — 2.5x the reference's 0.4 m/s maximum with the
+    reference's own slow-trot gait. This test pins the 0.5 stage (deep
+    inside the measured envelope); the SRB fast-trot preset's 1.7 m/s
+    envelope is pinned separately (scripts/envelope_sweep.py,
+    PARITY.md)."""
     from quadruped_control_tpu.control.rollout import piecewise_command
 
     cfg, model, kw, res = urdf_stand
