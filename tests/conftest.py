@@ -38,6 +38,8 @@ import pytest
 # runs everything. Measured walls are documented in CLAUDE.md.
 HEAVY_MODULES = {
     "test_whole_body_loop",   # full-physics closed-loop scans (minutes each)
+    "test_whole_body_demos",  # scheduled demo-genre scans (split, round 5)
+    "test_whole_body_range",  # round-5 frontier scans (split, round 5)
     "test_mpc_commander",     # MPC-in-the-loop f64 scans
     "test_pallas_fused",      # interpret-mode fused-kernel suite (~14 min)
     "test_pallas_substep",    # interpret-mode physics substep kernel
