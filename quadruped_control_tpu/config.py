@@ -77,9 +77,21 @@ class KinematicsConfig:
             [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=_canon(dtype)
         )
 
+    def hip_offsets_np(self) -> np.ndarray:
+        """float64 NumPy twin of ``hip_offsets`` for host-side snapshots
+        (kernel constant baking) — exact regardless of jax_enable_x64."""
+        x, y, z = self.hip_x, self.hip_y, self.hip_z
+        return np.array(
+            [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=np.float64
+        )
+
     def l1_signed(self, dtype=jnp.float32):
         """(4,) l1 with the left/right sign convention (left +, right -)."""
         return jnp.array([self.l1, self.l1, -self.l1, -self.l1], dtype=_canon(dtype))
+
+    def l1_signed_np(self) -> np.ndarray:
+        """float64 NumPy twin of ``l1_signed`` (host-side snapshots)."""
+        return np.array([self.l1, self.l1, -self.l1, -self.l1], dtype=np.float64)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +130,13 @@ class FootPlannerConfig:
         x, y, z = self.hip_x, self.hip_y, self.hip_z
         return jnp.array(
             [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=_canon(dtype)
+        )
+
+    def hip_offsets_np(self) -> np.ndarray:
+        """float64 NumPy twin (host-side snapshots; x64-state independent)."""
+        x, y, z = self.hip_x, self.hip_y, self.hip_z
+        return np.array(
+            [[-x, y, z], [x, y, z], [-x, -y, z], [x, -y, z]], dtype=np.float64
         )
 
 

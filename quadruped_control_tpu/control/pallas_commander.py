@@ -148,8 +148,8 @@ class CommanderConsts:
 
     def __init__(self, cfg: ControlConfig, dt: float):
         kin = cfg.kinematics
-        self.hips = np.asarray(kin.hip_offsets(jnp.float64))
-        self.l1s = [float(v) for v in np.asarray(kin.l1_signed(jnp.float64))]
+        self.hips = kin.hip_offsets_np()
+        self.l1s = [float(v) for v in kin.l1_signed_np()]
         self.l1 = float(kin.l1)
         self.l2 = float(kin.l2)
         self.l3 = float(kin.l3)
@@ -173,7 +173,7 @@ class CommanderConsts:
         self.intercept = 1.0 - self.slope
 
         fp = cfg.foot_planner
-        self.fp_hips = np.asarray(fp.hip_offsets(jnp.float64))
+        self.fp_hips = fp.hip_offsets_np()
         self.fp_k = float(fp.k)
         self.fp_g = float(fp.gravity)
 

@@ -175,8 +175,8 @@ def make_pallas_stepper(model: WholeBodyModel, cfg: ControlConfig,
     tau_max = float(cfg.balance.torque_max)
     mdl = jax.tree.map(np.asarray, model)
     kin = cfg.kinematics
-    hips = np.asarray(kin.hip_offsets(jnp.float64))
-    l1s = np.asarray(kin.l1_signed(jnp.float64))
+    hips = kin.hip_offsets_np()
+    l1s = kin.l1_signed_np()
     sl2, sl3 = -float(kin.l2), -float(kin.l3)
 
     trunk_m = float(mdl.trunk_mass)

@@ -98,7 +98,7 @@ def main():
     print(f"FK at notebook point q=(0.63, 1.04, -1.60):\n{fk}")
 
     # Numeric cross-check of the symbolic chain vs the JAX op, all legs.
-    hips = np.asarray(cfg.hip_offsets(jnp.float64))
+    hips = cfg.hip_offsets_np()
     left = np.array([1.0, 1.0, -1.0, -1.0])
     subs_common = {q1: 0.63, q2: 1.04, q3: -1.60}
     for leg in range(4):
